@@ -1,0 +1,14 @@
+"""pandora_tpu — a TPU-native dense stereo matching engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of CNES/Pandora:
+configurable cost-volume pipelines (census/SAD/SSD/ZNCC/MC-CNN matching cost,
+CBCA aggregation, SGM optimization, WTA + subpixel refinement, filtering,
+cross-checking validation, confidence measures, multiscale), scaled over TPU
+device meshes with disparity-aware halo exchange.
+"""
+
+__version__ = "0.1.0"
+
+from . import constants  # noqa: F401
+from .datamodel import CostVolume, DisparityMap, Image, make_image  # noqa: F401
+from .margins import GlobalMargins, Margins  # noqa: F401

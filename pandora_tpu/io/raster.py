@@ -1,0 +1,359 @@
+"""Raster ingestion and GeoTIFF output.
+
+The reference reads/writes rasters with rasterio (img_tools.py:345-437,
+common.py:40-110).  This environment has no rasterio/GDAL, so this module
+implements the needed subset natively:
+
+* reading: PIL handles PNG and single/multi-band TIFF (including float32);
+  geo tags (ModelPixelScale / ModelTiepoint / ModelTransformation) are
+  decoded directly from the TIFF IFD.
+* writing: a minimal from-scratch GeoTIFF encoder (striped, uncompressed,
+  little-endian) for float32 / uint16 / int16 single-band rasters with
+  optional affine transform + CRS tags — enough for the reference output
+  tree (left/right disparity, confidence, validity mask GeoTIFFs,
+  common.py:112-199).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image as PILImage
+
+PILImage.MAX_IMAGE_PIXELS = None  # large satellite scenes
+
+# TIFF tag ids
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITSPERSAMPLE = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIPOFFSETS = 273
+_T_SAMPLESPERPIXEL = 277
+_T_ROWSPERSTRIP = 278
+_T_STRIPBYTECOUNTS = 279
+_T_PLANARCONFIG = 284
+_T_SAMPLEFORMAT = 339
+_T_MODELPIXELSCALE = 33550
+_T_MODELTIEPOINT = 33922
+_T_MODELTRANSFORMATION = 34264
+_T_GEOKEYDIRECTORY = 34735
+_T_GEOASCIIPARAMS = 34737
+_T_GDAL_NODATA = 42113
+
+_SAMPLEFORMAT = {"u": 1, "i": 2, "f": 3}
+
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
+
+
+def _read_tiff_native(path: str):
+    """Minimal TIFF reader: striped or tiled, uncompressed or deflate,
+    chunky (PlanarConfig=1) or planar (=2), any sample format.  Returns
+    (data (bands, rows, cols), tags dict) or None if unsupported.
+
+    Needed because PIL rejects planar multi-band float TIFFs, which the
+    reference uses for disparity grids (tests/pandora/left_disparity_grid.tif).
+    """
+    import zlib
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if raw[:2] not in (b"II", b"MM") or len(raw) < 8:
+        return None
+    bo = "<" if raw[:2] == b"II" else ">"
+    if struct.unpack(bo + "H", raw[2:4])[0] != 42:
+        return None  # (bigtiff unsupported)
+    off = struct.unpack(bo + "I", raw[4:8])[0]
+    n = struct.unpack(bo + "H", raw[off : off + 2])[0]
+    tags = {}
+    for i in range(n):
+        ent = raw[off + 2 + i * 12 : off + 14 + i * 12]
+        tag, typ, cnt = struct.unpack(bo + "HHI", ent[:8])
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        voff = struct.unpack(bo + "I", ent[8:12])[0] if size > 4 else off + 2 + i * 12 + 8
+        if typ == 2:
+            tags[tag] = raw[voff : voff + cnt].rstrip(b"\x00").decode("latin1")
+        elif typ in _TYPE_FMT:
+            tags[tag] = struct.unpack(bo + str(cnt) + _TYPE_FMT[typ], raw[voff : voff + size])
+        elif typ == 5:  # rational
+            v = struct.unpack(bo + str(2 * cnt) + "I", raw[voff : voff + size])
+            tags[tag] = tuple(v[2 * k] / max(v[2 * k + 1], 1) for k in range(cnt))
+    width = tags[_T_WIDTH][0]
+    height = tags[_T_HEIGHT][0]
+    spp = tags.get(_T_SAMPLESPERPIXEL, (1,))[0]
+    bits = tags.get(_T_BITSPERSAMPLE, (8,) * spp)[0]
+    comp = tags.get(_T_COMPRESSION, (1,))[0]
+    planar = tags.get(_T_PLANARCONFIG, (1,))[0]
+    sfmt = tags.get(_T_SAMPLEFORMAT, (1,) * spp)[0]
+    if comp not in (1, 8, 32946):
+        return None
+    kind = {1: "u", 2: "i", 3: "f"}.get(sfmt)
+    if kind is None:
+        return None
+    dt = np.dtype(f"{bo}{kind}{bits // 8}")
+
+    def chunks(offsets, counts):
+        for o, c in zip(offsets, counts):
+            blob = raw[o : o + c]
+            yield zlib.decompress(blob) if comp in (8, 32946) else blob
+
+    if 324 in tags:  # tiled
+        tw, th = tags[322][0], tags[323][0]
+        tiles_x = -(-width // tw)
+        tiles_y = -(-height // th)
+        n_planes = spp if planar == 2 else 1
+        samples_per_tile = spp if planar == 1 else 1
+        out = np.zeros((spp, height, width), dt.newbyteorder("="))
+        it = chunks(tags[324], tags[325])
+        for p in range(n_planes):
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    buf = np.frombuffer(next(it), dt)
+                    tile = buf.reshape(th, tw, samples_per_tile)
+                    h = min(th, height - ty * th)
+                    w = min(tw, width - tx * tw)
+                    if planar == 1:
+                        out[:, ty * th : ty * th + h, tx * tw : tx * tw + w] = np.moveaxis(
+                            tile[:h, :w], -1, 0
+                        )
+                    else:
+                        out[p, ty * th : ty * th + h, tx * tw : tx * tw + w] = tile[:h, :w, 0]
+    else:  # striped
+        rps = tags.get(_T_ROWSPERSTRIP, (height,))[0]
+        strips_per_plane = -(-height // rps)
+        n_planes = spp if planar == 2 else 1
+        samples_per_row = width * (spp if planar == 1 else 1)
+        out = np.zeros((spp, height, width), dt.newbyteorder("="))
+        it = chunks(tags[_T_STRIPOFFSETS], tags[_T_STRIPBYTECOUNTS])
+        for p in range(n_planes):
+            for s in range(strips_per_plane):
+                buf = np.frombuffer(next(it), dt)
+                h = min(rps, height - s * rps)
+                rowsdata = buf[: h * samples_per_row].reshape(h, -1)
+                if planar == 1:
+                    out[:, s * rps : s * rps + h] = np.moveaxis(rowsdata.reshape(h, width, spp), -1, 0)
+                else:
+                    out[p, s * rps : s * rps + h] = rowsdata
+    return out, tags
+
+
+def _tags_geo_transform(tags: dict) -> Optional[Tuple[float, ...]]:
+    if _T_MODELTRANSFORMATION in tags:
+        m = [float(v) for v in tags[_T_MODELTRANSFORMATION]]
+        return (m[0], m[1], m[3], m[4], m[5], m[7])
+    if _T_MODELPIXELSCALE in tags and _T_MODELTIEPOINT in tags:
+        sx, sy = [float(v) for v in tags[_T_MODELPIXELSCALE][:2]]
+        tp = [float(v) for v in tags[_T_MODELTIEPOINT][:6]]
+        i, j, x, y = tp[0], tp[1], tp[3], tp[4]
+        return (sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
+    return None
+
+
+def _pil_geo_transform(img: PILImage.Image) -> Optional[Tuple[float, ...]]:
+    """Extract the affine transform (a, b, c, d, e, f) with
+    x = a*col + b*row + c ; y = d*col + e*row + f from TIFF geo tags."""
+    tags = getattr(img, "tag_v2", None)
+    if tags is None:
+        return None
+    if _T_MODELTRANSFORMATION in tags:
+        m = [float(v) for v in tags[_T_MODELTRANSFORMATION]]
+        return (m[0], m[1], m[3], m[4], m[5], m[7])
+    if _T_MODELPIXELSCALE in tags and _T_MODELTIEPOINT in tags:
+        sx, sy = [float(v) for v in tags[_T_MODELPIXELSCALE][:2]]
+        tp = [float(v) for v in tags[_T_MODELTIEPOINT][:6]]
+        i, j, x, y = tp[0], tp[1], tp[3], tp[4]
+        return (sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
+    return None
+
+
+def read_raster(path: str, window: Optional[Tuple[int, int, int, int]] = None):
+    """Read a raster as ``(bands, rows, cols)`` float32 plus geo metadata.
+
+    ``window`` is ``(row_off, col_off, n_rows, n_cols)`` (the reference ROI
+    read, img_tools.get_window img_tools.py:61-98).
+
+    :return: (data, transform, crs_ascii, nodata_tag)
+    """
+    data = None
+    transform = None
+    crs = None
+    nodata = None
+    if path.lower().endswith((".tif", ".tiff")):
+        native = _read_tiff_native(path)
+        if native is not None:
+            arr, tags = native
+            data = arr.astype(np.float32)
+            transform = _tags_geo_transform(tags)
+            crs = tags.get(_T_GEOASCIIPARAMS)
+            if _T_GDAL_NODATA in tags:
+                try:
+                    nodata = float(str(tags[_T_GDAL_NODATA]).strip("\x00 "))
+                except ValueError:
+                    nodata = None
+
+    if data is None:
+        img = PILImage.open(path)
+        transform = _pil_geo_transform(img)
+        tags = getattr(img, "tag_v2", None)
+        if tags is not None:
+            if _T_GEOASCIIPARAMS in tags:
+                crs = str(tags[_T_GEOASCIIPARAMS])
+            if _T_GDAL_NODATA in tags:
+                try:
+                    nodata = float(str(tags[_T_GDAL_NODATA]).strip("\x00 "))
+                except ValueError:
+                    nodata = None
+        frames = []
+        n_frames = getattr(img, "n_frames", 1)
+        for k in range(n_frames):
+            if n_frames > 1:
+                img.seek(k)
+            arr = np.asarray(img)
+            if arr.ndim == 2:
+                frames.append(arr)
+            else:  # interleaved multi-band (e.g. RGB png)
+                frames.extend(arr[..., b] for b in range(arr.shape[-1]))
+        data = np.stack(frames).astype(np.float32)
+
+    if window is not None:
+        r0, c0, nr, nc = window
+        data = data[:, r0 : r0 + nr, c0 : c0 + nc]
+        if transform is not None:
+            a, b, c, d, e, f = transform
+            transform = (a, b, c + a * c0 + b * r0, d, e, f + d * c0 + e * r0)
+    return data, transform, crs, nodata
+
+
+def read_image_input(
+    img_path: str,
+    nodata: float = -9999,
+    mask_path: Optional[str] = None,
+    window: Optional[Tuple[int, int, int, int]] = None,
+):
+    """Reference-equivalent image ingestion (create_dataset_from_inputs,
+    img_tools.py:345-437):
+
+    * nodata pixels (== nodata, or NaN if nodata is NaN/inf) are rewritten to
+      -9999 in the image plane;
+    * an internal int16 mask is built with the reference convention
+      (img_tools.add_mask, img_tools.py:257-316): 0 = valid, 1 = nodata,
+      2 = invalidated by the input mask; nodata wins over input-mask.
+
+    :return: (image (bands, rows, cols) f32, msk (rows, cols) int16 or None,
+              transform, crs)
+    """
+    data, transform, crs, _ = read_raster(img_path, window)
+    if np.isnan(nodata):
+        no_data_pix = np.isnan(data)
+    elif np.isinf(nodata):
+        no_data_pix = np.isinf(data)
+    else:
+        no_data_pix = data == nodata
+    no_data_2d = no_data_pix.any(axis=0)
+
+    msk = None
+    if mask_path is not None or no_data_2d.any():
+        msk = np.zeros(data.shape[-2:], np.int16)
+        if mask_path is not None:
+            input_mask, _, _, _ = read_raster(mask_path, window)
+            msk[input_mask[0] != 0] = 2  # valid_pixels + no_data_mask + 1
+        msk[no_data_2d] = 1
+
+    data = np.where(no_data_pix, np.float32(-9999), data)
+    return data, msk, transform, crs
+
+
+def _pack_entries(entries):
+    """entries: list of (tag, type_id, count, packed_value_bytes_or_int)."""
+    out = b""
+    for tag, typ, count, value in sorted(entries):
+        out += struct.pack("<HHI", tag, typ, count)
+        if isinstance(value, int):
+            out += struct.pack("<I", value)
+        else:
+            out += (value + b"\x00" * 4)[:4]
+    return out
+
+
+def write_geotiff(
+    path: str,
+    data: np.ndarray,
+    transform: Optional[Tuple[float, ...]] = None,
+    crs: Optional[str] = None,
+    nodata: Optional[float] = None,
+) -> None:
+    """Write a single-band GeoTIFF (uncompressed, one strip per row).
+
+    Supports float32 / float64→float32 / uint8 / uint16 / int16 / int32.
+    """
+    data = np.asarray(data)
+    if data.ndim != 2:
+        raise ValueError(f"write_geotiff expects a 2-D band, got {data.shape}")
+    if data.dtype == np.float64:
+        data = data.astype(np.float32)
+    rows, cols = data.shape
+    itemsize = data.dtype.itemsize
+    sample_format = _SAMPLEFORMAT[data.dtype.kind]
+
+    # layout: header(8) | IFD | external tag data | pixel data
+    entries = [
+        (_T_WIDTH, 3, 1, cols),
+        (_T_HEIGHT, 3, 1, rows),
+        (_T_BITSPERSAMPLE, 3, 1, itemsize * 8),
+        (_T_COMPRESSION, 3, 1, 1),
+        (_T_PHOTOMETRIC, 3, 1, 1),
+        (_T_SAMPLESPERPIXEL, 3, 1, 1),
+        (_T_ROWSPERSTRIP, 3, 1, rows),
+        (_T_PLANARCONFIG, 3, 1, 1),
+        (_T_SAMPLEFORMAT, 3, 1, sample_format),
+    ]
+    external = []  # (tag, type, count, payload_bytes)
+    if transform is not None:
+        a, b, c, d, e, f = transform
+        if b == 0 and d == 0:  # axis-aligned → pixel-scale + tiepoint
+            external.append((_T_MODELPIXELSCALE, 12, 3, struct.pack("<3d", a, -e, 0.0)))
+            external.append((_T_MODELTIEPOINT, 12, 6, struct.pack("<6d", 0, 0, 0, c, f, 0)))
+        else:
+            m = [a, b, 0, c, d, e, 0, f, 0, 0, 0, 0, 0, 0, 0, 1]
+            external.append((_T_MODELTRANSFORMATION, 12, 16, struct.pack("<16d", *m)))
+    if crs is not None:
+        ascii_params = (crs + "|").encode() + b"\x00"
+        # minimal GeoKeyDirectory: version, citation key pointing at ascii params
+        keys = [1, 1, 0, 2, 1024, 0, 1, 2, 2049, 34737, len(ascii_params), 0]
+        external.append((_T_GEOKEYDIRECTORY, 3, len(keys), struct.pack(f"<{len(keys)}H", *keys)))
+        external.append((_T_GEOASCIIPARAMS, 2, len(ascii_params), ascii_params))
+    if nodata is not None:
+        nd = (f"{nodata}").encode() + b"\x00"
+        external.append((_T_GDAL_NODATA, 2, len(nd), nd))
+
+    n_entries = len(entries) + len(external) + 2  # + strip offsets/bytecounts
+    ifd_size = 2 + n_entries * 12 + 4
+    ext_off = 8 + ifd_size
+    ext_blob = b""
+    for tag, typ, count, payload in external:
+        if len(payload) <= 4:
+            entries.append((tag, typ, count, (payload + b"\x00" * 4)[:4]))
+        else:
+            entries.append((tag, typ, count, ext_off + len(ext_blob)))
+            if len(payload) % 2:
+                payload += b"\x00"
+            ext_blob += payload
+
+    # strip offsets / byte counts (one strip total keeps the IFD tiny)
+    data_off = ext_off + len(ext_blob)
+    entries.append((_T_STRIPOFFSETS, 4, 1, data_off))
+    entries.append((_T_STRIPBYTECOUNTS, 4, 1, rows * cols * itemsize))
+
+    with open(path, "wb") as fh:
+        fh.write(b"II*\x00" + struct.pack("<I", 8))
+        fh.write(struct.pack("<H", n_entries))
+        fh.write(_pack_entries(entries))
+        fh.write(struct.pack("<I", 0))  # next IFD
+        fh.write(ext_blob)
+        if data.dtype.byteorder == ">":
+            data = data.byteswap()
+        fh.write(data.tobytes())

@@ -1,0 +1,123 @@
+"""Margin calculus for windowed / global-influence pipeline steps.
+
+Pure-dataclass re-design of the reference margin model
+(reference: src/pandora/margins/margins.py:36-158, marge.py:85-106):
+each step declares a :class:`Margins`; *cumulative* steps (matching cost,
+aggregation, optimization, refinement, disparity) sum, *non-cumulative*
+steps (filters) take the element-wise max.  The global margins are the
+sum of the cumulative total and the non-cumulative max.
+
+These margins drive two things in the TPU engine:
+
+* host-side ROI reads (read a window enlarged by the global margins), and
+* the halo width of the spatial tiling in :mod:`pandora_tpu.parallel`
+  (plus ``max(|disp|)`` on the column axis for the disparity gather).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Margins:
+    """Left/up/right/down margins in pixels (all >= 0)."""
+
+    left: int = 0
+    up: int = 0
+    right: int = 0
+    down: int = 0
+
+    def __post_init__(self):
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if v < 0:
+                raise ValueError(f"margin {f.name} must be >= 0, got {v}")
+
+    def __add__(self, other: "Margins") -> "Margins":
+        return Margins(
+            self.left + other.left,
+            self.up + other.up,
+            self.right + other.right,
+            self.down + other.down,
+        )
+
+    def max(self, other: "Margins") -> "Margins":
+        return Margins(
+            max(self.left, other.left),
+            max(self.up, other.up),
+            max(self.right, other.right),
+            max(self.down, other.down),
+        )
+
+    @property
+    def astuple(self):
+        return (self.left, self.up, self.right, self.down)
+
+    def to_dict(self):
+        return {"left": self.left, "up": self.up, "right": self.right, "down": self.down}
+
+
+def half_window_margins(window_size: int) -> Margins:
+    """Margins of a centered odd square window (reference descriptors
+    HalfWindowMargins, margins/descriptors.py:45-77)."""
+    half = (window_size - 1) // 2
+    return Margins(half, half, half, half)
+
+
+def uniform_margins(value: int) -> Margins:
+    """Uniform margins on the four sides (reference UniformMargins; SGM uses
+    40, marge.py:86-89)."""
+    return Margins(value, value, value, value)
+
+
+NULL_MARGINS = Margins(0, 0, 0, 0)
+
+# SGM's influence is theoretically global; the reference truncates it to a
+# 40 px halo (marge.py:86-89, optimization/optimization.py:43).  We keep the
+# same truncation as the tiling halo for the block-parallel SGM scans.
+SGM_MARGINS = uniform_margins(40)
+
+
+class GlobalMargins:
+    """Accumulates per-step margins into the run-global margins.
+
+    Mirrors reference GlobalMargins (margins/margins.py:73-143): global =
+    sum(cumulative) + max(non-cumulative).
+    """
+
+    def __init__(self):
+        self._cumulative: dict[str, Margins] = {}
+        self._non_cumulative: dict[str, Margins] = {}
+
+    def add_cumulative(self, step: str, margins: Margins) -> None:
+        self._cumulative[step] = margins
+
+    def add_non_cumulative(self, step: str, margins: Margins) -> None:
+        self._non_cumulative[step] = margins
+
+    @property
+    def cumulative_margins(self) -> Margins:
+        total = NULL_MARGINS
+        for m in self._cumulative.values():
+            total = total + m
+        return total
+
+    @property
+    def non_cumulative_margins(self) -> Margins:
+        total = NULL_MARGINS
+        for m in self._non_cumulative.values():
+            total = total.max(m)
+        return total
+
+    @property
+    def global_margins(self) -> Margins:
+        return self.cumulative_margins + self.non_cumulative_margins
+
+    def to_dict(self):
+        return {
+            "cumulative margins": self.cumulative_margins.to_dict(),
+            "non-cumulative margins": self.non_cumulative_margins.to_dict(),
+            "global margins": self.global_margins.to_dict(),
+        }
