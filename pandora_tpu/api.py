@@ -1,0 +1,98 @@
+"""Top-level API: load config → build pipeline → load images → run → save.
+
+Mirrors the reference entry points (pandora/__init__.py:51-202): ``run``
+executes a validated pipeline on in-memory images; ``main`` is the
+config-file driver used by the CLI.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from . import common
+from .config import check_conf, read_config_file
+from .datamodel import DisparityMap, Image, make_image
+from .io.raster import read_image_input, read_raster
+from .pipeline import Pipeline
+from .steps.base import PipelineState
+
+
+def setup_logging(verbose: bool) -> None:
+    logging.basicConfig(
+        format="[%(asctime)s][%(levelname)s] %(message)s",
+        level=logging.INFO if verbose else logging.ERROR,
+        datefmt="%Y-%m-%dT%H:%M:%S",
+    )
+
+
+def create_image_from_inputs(img_cfg: Dict[str, Any], disp) -> Image:
+    """create_dataset_from_inputs equivalent (img_tools.py:345-437)."""
+    data, msk, transform, crs = read_image_input(
+        img_cfg["img"], img_cfg.get("nodata", -9999), img_cfg.get("mask")
+    )
+    extras = {}
+    for key in ("classif", "segm", "edges"):
+        if img_cfg.get(key):
+            arr, *_ = read_raster(img_cfg[key])
+            extras[key] = arr[0] if key != "classif" else arr
+    if isinstance(disp, str):
+        grid, *_ = read_raster(disp)
+        disp = grid  # (2, row, col)
+    band_names = tuple(f"band_{i}" for i in range(data.shape[0])) if data.shape[0] > 1 else ()
+    return make_image(
+        data,
+        disp=disp,
+        msk=msk,
+        transform=transform,
+        crs=crs,
+        band_names=band_names,
+        **extras,
+    )
+
+
+def images_from_config(cfg_input: Dict[str, Any]) -> Tuple[Image, Image]:
+    left = create_image_from_inputs(cfg_input["left"], cfg_input["left"]["disp"])
+    right_disp = cfg_input["right"]["disp"]
+    right = create_image_from_inputs(cfg_input["right"], right_disp)
+    if right.disp_min is None and left.disp_min is not None:
+        # default right range = -reversed left (pandora/__init__.py:184-185)
+        import jax.numpy as jnp
+
+        right.disp_min = -left.disp_max
+        right.disp_max = -left.disp_min
+        right.disparity_source = left.disparity_source
+    return left, right
+
+
+def run(
+    pipeline: Pipeline,
+    left_img: Image,
+    right_img: Image,
+) -> Tuple[DisparityMap, Optional[DisparityMap], PipelineState]:
+    """Execute a validated pipeline (reference run, __init__.py:51-124)."""
+    state = PipelineState(left_img=left_img, right_img=right_img)
+    pipeline.run(state)
+    return state.left_disparity, state.right_disparity, state
+
+
+def main(cfg_path: str, output: str, verbose: bool = False) -> None:
+    """Config-file driver (reference main, __init__.py:151-202)."""
+    setup_logging(verbose)
+    user_cfg = read_config_file(cfg_path)
+    cfg, pipeline = check_conf(user_cfg)
+    # resolve relative image paths against the config file directory
+    base = os.path.dirname(os.path.abspath(cfg_path))
+    for side in ("left", "right"):
+        for key in ("img", "mask", "classif", "segm", "edges", "disp"):
+            v = cfg["input"][side].get(key)
+            if isinstance(v, str) and not os.path.isabs(v):
+                cfg["input"][side][key] = os.path.join(base, v)
+    left_img, right_img = images_from_config(cfg["input"])
+    left_disp, right_disp, _ = run(pipeline, left_img, right_img)
+    common.save_results(left_disp, right_disp, output)
+    cfg["margins"] = pipeline.margins.to_dict()
+    common.save_config(output, cfg)

@@ -286,16 +286,20 @@ def write_geotiff(
     crs: Optional[str] = None,
     nodata: Optional[float] = None,
 ) -> None:
-    """Write a single-band GeoTIFF (uncompressed, one strip per row).
+    """Write a GeoTIFF (uncompressed, single strip), single or multi band
+    ((rows, cols) or (bands, rows, cols) pixel-interleaved).
 
     Supports float32 / float64→float32 / uint8 / uint16 / int16 / int32.
     """
     data = np.asarray(data)
-    if data.ndim != 2:
-        raise ValueError(f"write_geotiff expects a 2-D band, got {data.shape}")
+    if data.ndim == 3:
+        data = np.moveaxis(data, 0, -1)  # (rows, cols, bands) chunky layout
+    elif data.ndim != 2:
+        raise ValueError(f"write_geotiff expects 2-D or 3-D data, got {data.shape}")
     if data.dtype == np.float64:
         data = data.astype(np.float32)
-    rows, cols = data.shape
+    rows, cols = data.shape[:2]
+    n_bands = 1 if data.ndim == 2 else data.shape[2]
     itemsize = data.dtype.itemsize
     sample_format = _SAMPLEFORMAT[data.dtype.kind]
 
@@ -303,15 +307,19 @@ def write_geotiff(
     entries = [
         (_T_WIDTH, 3, 1, cols),
         (_T_HEIGHT, 3, 1, rows),
-        (_T_BITSPERSAMPLE, 3, 1, itemsize * 8),
         (_T_COMPRESSION, 3, 1, 1),
         (_T_PHOTOMETRIC, 3, 1, 1),
-        (_T_SAMPLESPERPIXEL, 3, 1, 1),
+        (_T_SAMPLESPERPIXEL, 3, 1, n_bands),
         (_T_ROWSPERSTRIP, 3, 1, rows),
         (_T_PLANARCONFIG, 3, 1, 1),
-        (_T_SAMPLEFORMAT, 3, 1, sample_format),
     ]
     external = []  # (tag, type, count, payload_bytes)
+    if n_bands <= 2:
+        entries.append((_T_BITSPERSAMPLE, 3, n_bands, struct.pack(f"<{n_bands}H", *([itemsize * 8] * n_bands)) if n_bands == 2 else itemsize * 8))
+        entries.append((_T_SAMPLEFORMAT, 3, n_bands, struct.pack(f"<{n_bands}H", *([sample_format] * n_bands)) if n_bands == 2 else sample_format))
+    else:
+        external.append((_T_BITSPERSAMPLE, 3, n_bands, struct.pack(f"<{n_bands}H", *([itemsize * 8] * n_bands))))
+        external.append((_T_SAMPLEFORMAT, 3, n_bands, struct.pack(f"<{n_bands}H", *([sample_format] * n_bands))))
     if transform is not None:
         a, b, c, d, e, f = transform
         if b == 0 and d == 0:  # axis-aligned → pixel-scale + tiepoint
@@ -346,7 +354,7 @@ def write_geotiff(
     # strip offsets / byte counts (one strip total keeps the IFD tiny)
     data_off = ext_off + len(ext_blob)
     entries.append((_T_STRIPOFFSETS, 4, 1, data_off))
-    entries.append((_T_STRIPBYTECOUNTS, 4, 1, rows * cols * itemsize))
+    entries.append((_T_STRIPBYTECOUNTS, 4, 1, rows * cols * n_bands * itemsize))
 
     with open(path, "wb") as fh:
         fh.write(b"II*\x00" + struct.pack("<I", 8))

@@ -1,0 +1,134 @@
+"""Census transform and Hamming-distance cost volume.
+
+TPU-native re-design of the reference census matching cost
+(matching_cost/cpp/src/census.cpp:45-180):
+
+* signatures are bit-packed into uint32 lanes (the reference packs into
+  bytes); up to 13x13 windows = 169 bits = 6 words;
+* the Hamming cost uses ``lax.population_count`` on XOR'd signatures,
+  vectorized over the whole (row, col) plane per disparity and scanned over
+  the integer disparity axis with a sliding dynamic slice — no per-pixel
+  loops anywhere;
+* sub-pixel disparities reuse the same machinery on linearly shifted right
+  images (one column shorter, census.cpp:142-158).
+
+Cost-volume layout is ``(row, col, disp)`` float32 with NaN for
+never-computed entries, matching the reference exactly (census.py:117-122).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .shift import shift_subpix
+
+
+def census_transform(im: jnp.ndarray, win_c: int, win_r: int) -> jnp.ndarray:
+    """Bit-packed census signatures, shape (row, col, nwords) uint32.
+
+    Bit b of the signature is 1 iff the window pixel (row-major scan) is
+    strictly greater than the center (census.cpp:76-81).  Border centers get
+    signatures computed against edge-replicated pixels; they are never used
+    (border costs are NaN-masked).
+    """
+    hh, hw = win_r // 2, win_c // 2
+    n_bits = win_r * win_c
+    n_words = -(-n_bits // 32)
+    padded = jnp.pad(im, ((hh, hh), (hw, hw)), mode="edge")
+    h, w = im.shape
+    words = [jnp.zeros((h, w), jnp.uint32) for _ in range(n_words)]
+    bit = 0
+    for dr in range(win_r):
+        for dc in range(win_c):
+            neighbor = padded[dr : dr + h, dc : dc + w]
+            b = (neighbor > im).astype(jnp.uint32)
+            word, pos = bit // 32, bit % 32
+            words[word] = words[word] | (b << jnp.uint32(31 - pos))
+            bit += 1
+    return jnp.stack(words, axis=-1)
+
+
+def _hamming_plane(lsig: jnp.ndarray, rsig: jnp.ndarray) -> jnp.ndarray:
+    """Sum of popcounts of XOR'd signature words → (row, col) float32."""
+    x = jax.lax.population_count(lsig ^ rsig)
+    return jnp.sum(x, axis=-1).astype(jnp.float32)
+
+
+def _scan_integer_disps(lsig, rsig_padded, n_int, width):
+    """Hamming cost for each integer disparity via a sliding column slice.
+
+    rsig_padded has columns laid out so that integer disparity index ``k``
+    reads the slice starting at column ``k``.
+    Returns (n_int, row, col) float32.
+    """
+
+    def step(_, k):
+        rs = jax.lax.dynamic_slice_in_dim(rsig_padded, k, width, axis=1)
+        return None, _hamming_plane(lsig, rs)
+
+    _, costs = jax.lax.scan(step, None, jnp.arange(n_int))
+    return costs
+
+
+def census_cost_volume(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    dmin: int,
+    dmax: int,
+    subpix: int = 1,
+    window_size: int = 5,
+) -> jnp.ndarray:
+    """Dense census cost volume (row, col, disp) float32, NaN where the
+    reference never writes a cost (borders / right window out of image,
+    census.cpp:132-172).
+
+    disp axis follows the reference subpix-expanded range
+    (matching_cost.py:409-427): d_k = dmin + k/subpix, D = (dmax-dmin)*subpix+1.
+    """
+    h, w = left.shape
+    hw = window_size // 2
+    n_int = dmax - dmin + 1
+    n_disp = (dmax - dmin) * subpix + 1
+
+    lsig = census_transform(left, window_size, window_size)
+    rights = shift_subpix(right, subpix)
+
+    per_shift = []
+    for i, r_im in enumerate(rights):
+        rsig = census_transform(r_im, window_size, window_size)
+        wi = rsig.shape[1]
+        # lay out columns so disparity index k reads slice starting at col k:
+        # position of right_x = col + dmin + k  →  pad left by -dmin... but
+        # keep it simple: col_in_padded = col + (k + dmin) + pad_l with
+        # pad_l = max(0, -dmin); slice start = k + dmin + pad_l >= 0.
+        pad_l = max(0, -dmin)
+        pad_r = max(0, dmax + w - wi) + max(0, -(dmin + pad_l)) + 1
+        rsig_p = jnp.pad(rsig, ((0, 0), (pad_l, pad_r), (0, 0)))
+        start0 = dmin + pad_l
+        rsig_p = rsig_p[:, start0:] if start0 > 0 else jnp.pad(rsig_p, ((0, 0), (-start0, 0), (0, 0)))
+        per_shift.append(_scan_integer_disps(lsig, rsig_p, n_int, w))
+
+    # interleave sub-pixel shifts: cv index k = (dd - dmin) * subpix + i
+    stacked = jnp.stack(per_shift, axis=1)  # (n_int, subpix, H, W)
+    cv = stacked.reshape(n_int * subpix, h, w)[:n_disp]
+    cv = jnp.moveaxis(cv, 0, -1)  # (H, W, D)
+
+    # ---- validity pattern (reference loop bounds, census.cpp:132-158) ----
+    cols = jnp.arange(w)[:, None]  # (W, 1)
+    k = jnp.arange(n_disp)[None, :]  # (1, D)
+    d_int = dmin + k // subpix
+    i_shift = k % subpix
+    right_x = cols + d_int
+    valid = (cols >= hw) & (cols < w - hw) & (right_x >= hw) & (right_x < w - hw)
+    valid &= jnp.where(i_shift > 0, right_x < w - hw - 1, True)
+    rows_valid = (jnp.arange(h) >= hw) & (jnp.arange(h) < h - hw)
+    mask = rows_valid[:, None, None] & valid[None, :, :]
+    return jnp.where(mask, cv, jnp.nan)
+
+
+def census_cmax(window_size: int) -> float:
+    """Maximal census cost (census.py:116-122)."""
+    return float(window_size**2)
