@@ -1,0 +1,146 @@
+"""Pipeline sequencing, config validation, margins and functional E2E gates
+(reference test_pandora_machine.py / test_config.py / functional tests)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import pandora_tpu
+from pandora_tpu.pipeline import MachineError, Pipeline
+from pandora_tpu.config import check_conf, memory_consumption_estimation
+from pandora_tpu.utils.schema import SchemaError
+
+from conftest import error_rate
+
+
+def test_valid_sequencing():
+    p = Pipeline(
+        {
+            "matching_cost": {"matching_cost_method": "census", "window_size": 5, "subpix": 1},
+            "disparity": {"disparity_method": "wta"},
+            "refinement": {"refinement_method": "vfit"},
+        }
+    )
+    assert [k for k, _ in p.steps] == ["matching_cost", "disparity", "refinement"]
+
+
+def test_invalid_sequencing_raises():
+    with pytest.raises(MachineError):
+        Pipeline({"disparity": {"disparity_method": "wta"}})
+    with pytest.raises(MachineError):
+        Pipeline(
+            {
+                "matching_cost": {"matching_cost_method": "census"},
+                "refinement": {"refinement_method": "vfit"},
+            }
+        )
+
+
+def test_unknown_method_raises():
+    with pytest.raises(KeyError):
+        Pipeline({"matching_cost": {"matching_cost_method": "nope"}})
+
+
+def test_census_window_schema():
+    with pytest.raises(SchemaError):
+        Pipeline({"matching_cost": {"matching_cost_method": "census", "window_size": 15}})
+
+
+def test_defaults_folded():
+    p = Pipeline({"matching_cost": {"matching_cost_method": "census"}, "disparity": {"disparity_method": "wta"}})
+    cfg = p.validated_cfg
+    assert cfg["matching_cost"]["window_size"] == 5
+    assert cfg["matching_cost"]["subpix"] == 1
+    assert cfg["disparity"]["invalid_disparity"] == -9999
+
+
+def test_margins_accumulate():
+    p = Pipeline(
+        {
+            "matching_cost": {"matching_cost_method": "census", "window_size": 5},
+            "disparity": {"disparity_method": "wta"},
+            "refinement": {"refinement_method": "vfit"},
+        }
+    )
+    g = p.margins.global_margins
+    assert g.astuple == (3, 3, 3, 3)  # half window 2 + refinement 1
+
+
+def test_check_conf_input_coherence():
+    cfg = {
+        "input": {
+            "left": {"img": "x.png", "disp": [2, -2]},
+            "right": {"img": "y.png"},
+        },
+        "pipeline": {"matching_cost": {"matching_cost_method": "census"}, "disparity": {"disparity_method": "wta"}},
+    }
+    with pytest.raises(SchemaError):
+        check_conf(cfg)
+
+
+def test_memory_estimation():
+    pipe = {"matching_cost": {"matching_cost_method": "census"}, "disparity": {"disparity_method": "wta"}}
+    lo, hi = memory_consumption_estimation({"pipeline": pipe}, (375, 450), -60, 0)
+    cv_size = 375 * 450 * 61
+    expected = 8.68e-06 * cv_size + 243
+    assert abs(hi / 1.1 - expected) < 1e-6
+
+
+# ---------------- functional gates on the cones pair ----------------------
+
+
+def _run_pipeline(pipeline_cfg):
+    cfg = {
+        "input": {
+            "left": {"img": "/root/reference/tests/pandora/left.png", "disp": [-60, 0]},
+            "right": {"img": "/root/reference/tests/pandora/right.png"},
+        },
+        "pipeline": pipeline_cfg,
+    }
+    validated, pipeline = check_conf(cfg)
+    left, right = pandora_tpu.images_from_config(validated["input"])
+    ld, rd, state = pandora_tpu.run(pipeline, left, right)
+    return ld, rd, state
+
+
+@pytest.mark.functional
+def test_census_wta_cones(cones):
+    ld, rd, _ = _run_pipeline(
+        {
+            "matching_cost": {"matching_cost_method": "census", "window_size": 5, "subpix": 1},
+            "disparity": {"disparity_method": "wta", "invalid_disparity": "NaN"},
+            "refinement": {"refinement_method": "vfit"},
+        }
+    )
+    err = error_rate(np.asarray(ld.disparity_map), cones["gt_left"], 1)
+    assert err <= 0.45  # raw local WTA (no SGM/filter) quality floor
+    assert rd is None
+
+
+@pytest.mark.functional
+def test_cli_main_outputs(tmp_path, cones):
+    cfg = {
+        "input": {
+            "left": {"img": "/root/reference/tests/pandora/left.png", "disp": [-60, 0]},
+            "right": {"img": "/root/reference/tests/pandora/right.png"},
+        },
+        "pipeline": {
+            "matching_cost": {"matching_cost_method": "census", "window_size": 5, "subpix": 1},
+            "disparity": {"disparity_method": "wta"},
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    pandora_tpu.main(str(cfg_path), str(tmp_path))
+    from pandora_tpu.io.raster import read_raster
+
+    disp, *_ = read_raster(str(tmp_path / "left_disparity.tif"))
+    assert disp.shape == (1, 375, 450)
+    vmask, *_ = read_raster(str(tmp_path / "left_validity_mask.tif"))
+    assert vmask.shape == (1, 375, 450)
+    saved = json.loads((tmp_path / "cfg" / "config.json").read_text())
+    assert "margins" in saved
+    err = error_rate(disp[0], cones["gt_left"], 1)
+    assert err <= 0.45
