@@ -12,3 +12,6 @@ from .base import STEP_FAMILIES, Step, make_step  # noqa: F401
 from . import matching_cost  # noqa: F401
 from . import disparity  # noqa: F401
 from . import refinement  # noqa: F401
+from . import optimization  # noqa: F401
+from . import filter  # noqa: F401
+from . import validation  # noqa: F401
