@@ -181,13 +181,14 @@ def sgm_aggregate(
     constant_pen = p1_planes.shape[1:3] == (1, 1) and p2_planes.shape[1:3] == (1, 1)
 
     def prep(planes, dirs_idx, flip_axis):
-        """(8, H, W[, D]) planes → (k, H, W, D-or-1), spatially flipped for
-        the channels that run on the flipped volume."""
+        """(8, H, W[, D]) or (8, 1, 1) planes → (k, H, W, D-or-1), spatially
+        flipped for the channels that run on the flipped volume."""
         out = []
         for i, di in enumerate(dirs_idx):
             p = planes[di]
             if p.ndim == 2:
                 p = p[..., None]
+            p = jnp.broadcast_to(p, (h, w, p.shape[-1]))
             if i >= len(dirs_idx) // 2:
                 p = jnp.flip(p, axis=flip_axis)
             out.append(p)

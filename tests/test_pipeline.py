@@ -120,6 +120,29 @@ def test_census_wta_cones(cones):
 
 
 @pytest.mark.functional
+def test_census_sgm_cones_reference_gate(cones):
+    """The reference's headline accuracy gate (functional_tests/
+    test_basic.py:159, test_pandora.py:137-140): census 5x5 + SGM(8,32) +
+    vfit + median + cross-checking must reach bad-1 <= 0.20 on both maps."""
+    ld, rd, _ = _run_pipeline(
+        {
+            "matching_cost": {"matching_cost_method": "census", "window_size": 5, "subpix": 1},
+            "optimization": {
+                "optimization_method": "sgm",
+                "penalty": {"penalty_method": "sgm_penalty", "P1": 8, "P2": 32, "p2_method": "constant"},
+            },
+            "disparity": {"disparity_method": "wta", "invalid_disparity": "NaN"},
+            "refinement": {"refinement_method": "vfit"},
+            "filter": {"filter_method": "median", "filter_size": 3},
+            "validation": {"validation_method": "cross_checking_accurate", "cross_checking_threshold": 1},
+            "filter.after": {"filter_method": "median", "filter_size": 3},
+        }
+    )
+    assert error_rate(np.asarray(ld.disparity_map), cones["gt_left"], 1) <= 0.20
+    assert error_rate(-np.asarray(rd.disparity_map), cones["gt_right"], 1) <= 0.20
+
+
+@pytest.mark.functional
 def test_cli_main_outputs(tmp_path, cones):
     cfg = {
         "input": {
