@@ -54,6 +54,11 @@ class Pipeline:
                 raise MachineError(
                     f"step {key!r} (family {family!r}) cannot run from state {state!r}"
                 )
+            if family == "cost_volume_confidence":
+                # repeated confidence steps get their suffix as indicator
+                # (state_machine.cost_volume_confidence_run, :571-576)
+                parts = key.split(".")
+                cfg = {**cfg, "indicator": "." + parts[1] if len(parts) == 2 else ""}
             step = make_step(family, cfg)
             self.steps.append((key, step))
             if family in _CUMULATIVE:

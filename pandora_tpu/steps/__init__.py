@@ -15,3 +15,4 @@ from . import refinement  # noqa: F401
 from . import optimization  # noqa: F401
 from . import filter  # noqa: F401
 from . import validation  # noqa: F401
+from . import confidence  # noqa: F401
