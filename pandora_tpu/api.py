@@ -73,9 +73,17 @@ def run(
     left_img: Image,
     right_img: Image,
 ) -> Tuple[DisparityMap, Optional[DisparityMap], PipelineState]:
-    """Execute a validated pipeline (reference run, __init__.py:51-124)."""
+    """Execute a validated pipeline (reference run, __init__.py:51-124):
+    one pass per pyramid scale (coarse → fine) when multiscale is
+    configured, a single pass otherwise."""
     state = PipelineState(left_img=left_img, right_img=right_img)
-    pipeline.run(state)
+    num_scales, scale_factor = pipeline.multiscale_params
+    if num_scales > 1:
+        from .steps.multiscale import prepare_pyramid_state
+
+        prepare_pyramid_state(state, num_scales, scale_factor)
+    for _ in range(num_scales):
+        pipeline.run(state)
     return state.left_disparity, state.right_disparity, state
 
 

@@ -73,6 +73,15 @@ class Pipeline:
         self.final_state = state
 
     @property
+    def multiscale_params(self) -> Tuple[int, int]:
+        """(num_scales, scale_factor) — (1, 1) without a multiscale step
+        (check_configuration.read_multiscale_params, :558-583)."""
+        for key, step in self.steps:
+            if key.split(".")[0] == "multiscale":
+                return step.cfg["num_scales"], step.cfg["scale_factor"]
+        return 1, 1
+
+    @property
     def validated_cfg(self) -> Dict[str, Dict[str, Any]]:
         """Pipeline config with defaults folded in (the reference persists
         this as cfg/config.json, common.py:202-220)."""

@@ -16,3 +16,4 @@ from . import optimization  # noqa: F401
 from . import filter  # noqa: F401
 from . import validation  # noqa: F401
 from . import confidence  # noqa: F401
+from . import multiscale  # noqa: F401

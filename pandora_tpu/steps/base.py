@@ -108,6 +108,12 @@ class PipelineState:
     num_scales: int = 1
     current_scale: int = 0
     pyramid: list = field(default_factory=list)
+    # user disparity range, rescaled per pyramid level (state_machine
+    # dmin_user/dmax_user, :645-657)
+    dmin_user: float = 0.0
+    dmax_user: float = 0.0
+    dmin_user_right: float = 0.0
+    dmax_user_right: float = 0.0
 
     def require_cv(self) -> CostVolume:
         if self.left_cv is None:

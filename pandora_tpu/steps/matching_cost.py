@@ -176,6 +176,16 @@ class MatchingCostBase(Step):
         )
 
     def run(self, state: PipelineState) -> None:
+        if state.scale_factor != 1:
+            # disparity ranges are rescaled to the current pyramid level at
+            # every matching-cost step (state_machine.matching_cost_prepare,
+            # :304-315) — a no-op for single-scale runs
+            sf = float(state.scale_factor)
+            state.left_img.disp_min = state.left_img.disp_min * sf
+            state.left_img.disp_max = state.left_img.disp_max * sf
+            if state.right_img.disp_min is not None:
+                state.right_img.disp_min = state.right_img.disp_min * sf
+                state.right_img.disp_max = state.right_img.disp_max * sf
         state.dmin, state.dmax = disparity_extrema(state.left_img)
         state.left_cv = self.compute(state.left_img, state.right_img, state.dmin, state.dmax)
         if state.right_disp_map == "accurate":
