@@ -10,6 +10,7 @@ exactly like the reference's ``pandora.plugin`` entry points.
 
 from .base import STEP_FAMILIES, Step, make_step  # noqa: F401
 from . import matching_cost  # noqa: F401
+from . import aggregation  # noqa: F401
 from . import disparity  # noqa: F401
 from . import refinement  # noqa: F401
 from . import optimization  # noqa: F401
