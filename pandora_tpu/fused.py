@@ -55,10 +55,15 @@ def stereo_pipeline(
         type_measure = "max"
 
     if optimization == "sgm":
-        p1p = jnp.full((8, 1, 1), p1, jnp.float32)
-        p2p = jnp.full((8, 1, 1), p2, jnp.float32)
         cv, _ = sgm_ops.sgm_optimize_volume(
-            cv, p1p, p2p, jnp.float32(p2), type_measure=type_measure
+            cv,
+            None,
+            None,
+            jnp.float32(p2),
+            type_measure=type_measure,
+            use_pallas=sgm_ops.default_use_pallas(),
+            p1_const=float(p1),
+            p2_const=float(p2),
         )
         type_measure = "min"
 

@@ -338,17 +338,39 @@ def mc_cnn_penalty_planes(
     )
 
 
-@partial(jax.jit, static_argnames=("type_measure", "overcounting", "min_cost_paths"))
+def default_use_pallas() -> bool:
+    """Pallas fast path on real TPU backends only (the CPU interpreter is
+    far slower than the lax scans)."""
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "type_measure",
+        "overcounting",
+        "min_cost_paths",
+        "use_pallas",
+        "p1_const",
+        "p2_const",
+    ),
+)
 def sgm_optimize_volume(
     cv: jnp.ndarray,
-    p1_planes: jnp.ndarray,
-    p2_planes: jnp.ndarray,
+    p1_planes: Optional[jnp.ndarray],
+    p2_planes: Optional[jnp.ndarray],
     p2_max: jnp.ndarray,
     confidence: Optional[jnp.ndarray] = None,
     segments: Optional[jnp.ndarray] = None,
     type_measure: str = "min",
     overcounting: bool = False,
     min_cost_paths: bool = False,
+    use_pallas: bool = False,
+    p1_const: Optional[float] = None,
+    p2_const: Optional[float] = None,
 ):
     """Full SGM pass on a reference-convention cost volume:
 
@@ -368,8 +390,30 @@ def sgm_optimize_volume(
     super_cost = finite_max + p2_max + 1.0
     work = jnp.where(invalid, super_cost, work)
 
-    total, nb_dirs = sgm_aggregate(
-        work, p1_planes, p2_planes, segments, overcounting, min_cost_paths
-    )
+    if p1_planes is None:
+        p1_planes = jnp.full((8, 1, 1), p1_const, jnp.float32)
+    if p2_planes is None:
+        p2_planes = jnp.full((8, 1, 1), p2_const, jnp.float32)
+
+    nb_dirs = None
+    pallas_done = False
+    if use_pallas and p1_const is not None:
+        from .sgm_pallas import pallas_supported, sgm_aggregate_pallas
+
+        if pallas_supported(work.shape, p1_planes, p2_planes, segments, min_cost_paths):
+            p2p = p2_planes if (p2_planes.ndim == 3 and p2_planes.shape[1] > 1) else None
+            total = sgm_aggregate_pallas(
+                work,
+                p1_const,
+                p2_const if p2_const is not None else 0.0,
+                p2_planes=p2p,
+            )
+            if overcounting:
+                total = total - 7.0 * work
+            pallas_done = True
+    if not pallas_done:
+        total, nb_dirs = sgm_aggregate(
+            work, p1_planes, p2_planes, segments, overcounting, min_cost_paths
+        )
     total = jnp.where(invalid, jnp.nan, total)
     return total, nb_dirs

@@ -112,6 +112,7 @@ class SgmBase(Step):
         pen = self.cfg["penalty"]
         band = cv.band_correl
         left_im = img_left.band(band)
+        p1_const = p2_const = None
         if pen["penalty_method"] == "mc_cnn_fast_penalty":
             p1p, p2p, p2max = sgm_ops.mc_cnn_penalty_planes(
                 left_im,
@@ -125,6 +126,9 @@ class SgmBase(Step):
                 pen["D"],
                 pen["V"],
             )
+        elif pen["p2_method"] == "constant":
+            p1p = p2p = None
+            p1_const, p2_const, p2max = float(pen["P1"]), float(pen["P2"]), float(pen["P2"])
         else:
             p1p, p2p, p2max = sgm_ops.penalty_planes(
                 left_im,
@@ -135,6 +139,7 @@ class SgmBase(Step):
                 float(pen["beta"]),
                 float(pen["gamma"]),
             )
+            p1_const = float(pen["P1"])
         segments = self._segments(img_left, left_im.shape)
         confidence = self._confidence(state, cv)
         optimized, nb_dirs = sgm_ops.sgm_optimize_volume(
@@ -147,6 +152,9 @@ class SgmBase(Step):
             type_measure=cv.type_measure,
             overcounting=self.cfg["overcounting"],
             min_cost_paths=self.cfg["min_cost_paths"],
+            use_pallas=sgm_ops.default_use_pallas(),
+            p1_const=p1_const,
+            p2_const=p2_const,
         )
         cv.cv = optimized
         cv.type_measure = "min"  # optimized volume is in cost convention
