@@ -46,6 +46,7 @@ def _compute_cv(
     right_msk,
     disp_min_grid,
     disp_max_grid,
+    mccnn_params=None,
     *,
     method: str,
     dmin: int,
@@ -65,6 +66,10 @@ def _compute_cv(
         )
     elif method == "zncc":
         cv = local_costs.zncc_cost_volume(left_im, right_im, dmin, dmax, subpix, window_size)
+    elif method == "mc_cnn":
+        from ..ops import mc_cnn as mc_cnn_ops
+
+        cv = mc_cnn_ops.mc_cnn_cost_volume(mccnn_params, left_im, right_im, dmin, dmax)
     else:
         raise ValueError(method)
 
@@ -129,6 +134,9 @@ class MatchingCostBase(Step):
 
     # -- runtime ------------------------------------------------------------
 
+    def _params(self):
+        return None  # mc_cnn feature-net weights; None for local costs
+
     @property
     def _type_measure(self) -> str:
         return "min"
@@ -153,6 +161,7 @@ class MatchingCostBase(Step):
             right_img.msk if right_img.msk is not None else (zero_msk if has_masks else None),
             left_img.disp_min,
             left_img.disp_max,
+            self._params(),
             method=self.method,
             dmin=dmin,
             dmax=dmax,
@@ -229,3 +238,51 @@ class ZnccMatchingCost(MatchingCostBase):
 
     def _cmax(self, left, right):
         return 1.0
+
+
+@Step.register("matching_cost", "mc_cnn")
+class McCnnMatchingCost(MatchingCostBase):
+    """Learned MC-CNN fast cost (capability of pandora_plugin_mccnn,
+    plugin_mccnn.rst:42-58: fixed window_size=11, subpix=1)."""
+
+    _DEFAULTS = {
+        "window_size": 11,
+        "subpix": 1,
+        "band": None,
+        "spline_order": 1,
+        "step": 1,
+        "model_path": None,
+    }
+
+    def check_conf(self, **cfg):
+        out = {**self._DEFAULTS, **cfg}
+        schema = {
+            "matching_cost_method": "mc_cnn",
+            "window_size": 11,
+            "subpix": 1,
+            "band": Or(str, lambda b: b is None),
+            "spline_order": And(int, lambda s: 1 <= s <= 5),
+            "step": 1,
+            "model_path": Or(str, lambda v: v is None),
+        }
+        return validate(schema, out)
+
+    def _params(self):
+        from ..ops import mc_cnn as mc_cnn_ops
+
+        if getattr(self, "_cached_params", None) is None:
+            path = self.cfg["model_path"]
+            if path:
+                self._cached_params = mc_cnn_ops.load_params(path)
+            else:
+                import logging
+
+                logging.warning(
+                    "mc_cnn: no model_path given - using seeded random weights "
+                    "(untrained); pass an .npz checkpoint for real accuracy"
+                )
+                self._cached_params = mc_cnn_ops.init_params()
+        return self._cached_params
+
+    def _cmax(self, left, right):
+        return 1.0  # |cosine similarity| <= 1
