@@ -18,3 +18,4 @@ from . import filter  # noqa: F401
 from . import validation  # noqa: F401
 from . import confidence  # noqa: F401
 from . import multiscale  # noqa: F401
+from . import segmentation  # noqa: F401
