@@ -18,6 +18,7 @@ from .config import check_conf, read_config_file
 from .datamodel import DisparityMap, Image, make_image
 from .io.raster import read_image_input, read_raster
 from .pipeline import Pipeline
+from .profiler import Profiler
 from .steps.base import PipelineState
 
 
@@ -92,6 +93,7 @@ def main(cfg_path: str, output: str, verbose: bool = False) -> None:
     setup_logging(verbose)
     user_cfg = read_config_file(cfg_path)
     cfg, pipeline = check_conf(user_cfg)
+    Profiler.enable_from_config(cfg)
     # resolve relative image paths against the config file directory
     base = os.path.dirname(os.path.abspath(cfg_path))
     for side in ("left", "right"):
@@ -104,3 +106,4 @@ def main(cfg_path: str, output: str, verbose: bool = False) -> None:
     common.save_results(left_disp, right_disp, output)
     cfg["margins"] = pipeline.margins.to_dict()
     common.save_config(output, cfg)
+    Profiler.generate_summary(output)

@@ -13,6 +13,7 @@ import logging
 from typing import Any, Dict, List, Tuple
 
 from .margins import GlobalMargins
+from .profiler import Profiler, profile
 from .steps.base import PipelineState, Step, make_step
 
 # (source state, step family) -> destination state
@@ -94,5 +95,8 @@ class Pipeline:
             state.right_disp_map = "fast"
         for key, step in self.steps:
             logging.info("%s...", key)
-            step.run(state)
+            if Profiler.enabled:
+                profile(key, memprof=True)(step.run)(state)
+            else:
+                step.run(state)
         return state

@@ -167,3 +167,37 @@ def test_cli_main_outputs(tmp_path, cones):
     assert "margins" in saved
     err = error_rate(disp[0], cones["gt_left"], 1)
     assert err <= 0.45
+
+
+@pytest.mark.functional
+def test_profiling_outputs(tmp_path, cones):
+    """Opt-in profiler writes profiling/ artifacts and rows with device
+    timing (reference test_profiling.py behavior, profiler.py:59-168)."""
+    from pandora_tpu.profiler import Profiler
+
+    cfg = {
+        "input": {
+            "left": {"img": "/root/reference/tests/pandora/left.png", "disp": [-60, 0]},
+            "right": {"img": "/root/reference/tests/pandora/right.png"},
+        },
+        "pipeline": {
+            "matching_cost": {"matching_cost_method": "census", "window_size": 5, "subpix": 1},
+            "disparity": {"disparity_method": "wta"},
+            "filter": {"filter_method": "median", "filter_size": 3},
+        },
+        "profiling": True,
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    try:
+        pandora_tpu.main(str(cfg_path), str(tmp_path))
+        rows = Profiler.rows()
+        names = {r["name"] for r in rows}
+        assert {"matching_cost", "disparity", "filter"} <= names
+        assert all(r["time"] >= 0 for r in rows)
+        assert (tmp_path / "profiling" / "raw_data.json").exists()
+        assert (tmp_path / "profiling" / "summary.csv").exists()
+        assert (tmp_path / "profiling" / "call_tree.txt").exists()
+    finally:
+        Profiler.reset()
+    assert not Profiler.enabled
