@@ -32,7 +32,7 @@ def setup_logging(verbose: bool) -> None:
 
 def create_image_from_inputs(img_cfg: Dict[str, Any], disp) -> Image:
     """create_dataset_from_inputs equivalent (img_tools.py:345-437)."""
-    data, msk, transform, crs = read_image_input(
+    data, msk, transform, crs, band_names = read_image_input(
         img_cfg["img"], img_cfg.get("nodata", -9999), img_cfg.get("mask")
     )
     extras = {}
@@ -43,7 +43,10 @@ def create_image_from_inputs(img_cfg: Dict[str, Any], disp) -> Image:
     if isinstance(disp, str):
         grid, *_ = read_raster(disp)
         disp = grid  # (2, row, col)
-    band_names = tuple(f"band_{i}" for i in range(data.shape[0])) if data.shape[0] > 1 else ()
+    if band_names is None:
+        band_names = (
+            tuple(f"band_{i}" for i in range(data.shape[0])) if data.shape[0] > 1 else ()
+        )
     return make_image(
         data,
         disp=disp,

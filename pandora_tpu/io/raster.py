@@ -17,7 +17,7 @@ implements the needed subset natively:
 from __future__ import annotations
 
 import struct
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 from PIL import Image as PILImage
@@ -41,6 +41,7 @@ _T_MODELTIEPOINT = 33922
 _T_MODELTRANSFORMATION = 34264
 _T_GEOKEYDIRECTORY = 34735
 _T_GEOASCIIPARAMS = 34737
+_T_GDAL_METADATA = 42112
 _T_GDAL_NODATA = 42113
 
 _SAMPLEFORMAT = {"u": 1, "i": 2, "f": 3}
@@ -170,18 +171,36 @@ def _pil_geo_transform(img: PILImage.Image) -> Optional[Tuple[float, ...]]:
     return None
 
 
+def _gdal_band_names(xml: Optional[str], n_bands: int) -> Optional[Tuple[str, ...]]:
+    """Band descriptions from the GDAL_METADATA XML tag (the reference reads
+    them via rasterio ``descriptions``, img_tools.py:392-400)."""
+    if not xml:
+        return None
+    import re
+
+    names: Dict[int, str] = {}
+    for m in re.finditer(
+        r'<Item name="DESCRIPTION" sample="(\d+)"[^>]*>([^<]*)</Item>', xml
+    ):
+        names[int(m.group(1))] = m.group(2)
+    if not names:
+        return None
+    return tuple(names.get(i, f"band_{i}") for i in range(n_bands))
+
+
 def read_raster(path: str, window: Optional[Tuple[int, int, int, int]] = None):
     """Read a raster as ``(bands, rows, cols)`` float32 plus geo metadata.
 
     ``window`` is ``(row_off, col_off, n_rows, n_cols)`` (the reference ROI
     read, img_tools.get_window img_tools.py:61-98).
 
-    :return: (data, transform, crs_ascii, nodata_tag)
+    :return: (data, transform, crs_ascii, nodata_tag, band_names)
     """
     data = None
     transform = None
     crs = None
     nodata = None
+    band_names = None
     if path.lower().endswith((".tif", ".tiff")):
         native = _read_tiff_native(path)
         if native is not None:
@@ -189,6 +208,7 @@ def read_raster(path: str, window: Optional[Tuple[int, int, int, int]] = None):
             data = arr.astype(np.float32)
             transform = _tags_geo_transform(tags)
             crs = tags.get(_T_GEOASCIIPARAMS)
+            band_names = _gdal_band_names(tags.get(_T_GDAL_METADATA), arr.shape[0])
             if _T_GDAL_NODATA in tags:
                 try:
                     nodata = float(str(tags[_T_GDAL_NODATA]).strip("\x00 "))
@@ -225,7 +245,7 @@ def read_raster(path: str, window: Optional[Tuple[int, int, int, int]] = None):
         if transform is not None:
             a, b, c, d, e, f = transform
             transform = (a, b, c + a * c0 + b * r0, d, e, f + d * c0 + e * r0)
-    return data, transform, crs, nodata
+    return data, transform, crs, nodata, band_names
 
 
 def read_image_input(
@@ -244,9 +264,9 @@ def read_image_input(
       2 = invalidated by the input mask; nodata wins over input-mask.
 
     :return: (image (bands, rows, cols) f32, msk (rows, cols) int16 or None,
-              transform, crs)
+              transform, crs, band_names)
     """
-    data, transform, crs, _ = read_raster(img_path, window)
+    data, transform, crs, _, band_names = read_raster(img_path, window)
     if np.isnan(nodata):
         no_data_pix = np.isnan(data)
     elif np.isinf(nodata):
@@ -259,12 +279,12 @@ def read_image_input(
     if mask_path is not None or no_data_2d.any():
         msk = np.zeros(data.shape[-2:], np.int16)
         if mask_path is not None:
-            input_mask, _, _, _ = read_raster(mask_path, window)
+            input_mask, *_ = read_raster(mask_path, window)
             msk[input_mask[0] != 0] = 2  # valid_pixels + no_data_mask + 1
         msk[no_data_2d] = 1
 
     data = np.where(no_data_pix, np.float32(-9999), data)
-    return data, msk, transform, crs
+    return data, msk, transform, crs, band_names
 
 
 def _pack_entries(entries):

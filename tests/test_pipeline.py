@@ -201,3 +201,30 @@ def test_profiling_outputs(tmp_path, cones):
     finally:
         Profiler.reset()
     assert not Profiler.enabled
+
+
+def test_sample_configs_validate():
+    """All reference data_samples configs validate unchanged (SURVEY §5.6:
+    identical JSON surface; mc_cnn/sgm plugin capabilities are native)."""
+    import glob
+
+    from pandora_tpu.config import check_conf
+
+    paths = sorted(glob.glob("/root/reference/data_samples/json_conf_files/*.json"))
+    assert len(paths) == 5
+    for p in paths:
+        with open(p, "r", encoding="utf-8") as fh:
+            cfg = json.load(fh)
+        validated, pipeline = check_conf(cfg)
+        assert pipeline.steps, p
+
+
+def test_multiband_band_names_from_gdal_metadata():
+    """Band descriptions come from the GDAL_METADATA TIFF tag, so
+    band="r" selection works like rasterio descriptions
+    (img_tools.py:392-400)."""
+    from pandora_tpu.io.raster import read_raster
+
+    data, _, _, _, band_names = read_raster("/root/reference/tests/pandora/left_rgb.tif")
+    assert data.shape[0] == 3
+    assert band_names == ("red", "green", "blue")
