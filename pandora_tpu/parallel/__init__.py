@@ -1,2 +1,2 @@
-from .mesh import make_mesh  # noqa: F401
-from .tiling import tiled_stereo_pipeline  # noqa: F401
+from .mesh import make_mesh, make_mesh2d  # noqa: F401
+from .tiling import halo_width, row_halo_width, tiled_stereo_pipeline  # noqa: F401

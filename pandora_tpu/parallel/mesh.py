@@ -35,3 +35,20 @@ def make_mesh(
         raise ValueError(f"mesh {n_data}x{n_tile} exceeds {len(devices)} devices")
     grid = np.asarray(devices[: n_data * n_tile]).reshape(n_data, n_tile)
     return Mesh(grid, axis_names=("data", "tile"))
+
+
+def make_mesh2d(
+    n_data: int = 1,
+    n_row: int = 1,
+    n_col: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ("data", "row", "col") mesh for 2-D spatial tiling — the
+    stereo analogue of 2-D context parallelism (SURVEY §2.5), replacing the
+    reference's (row, col) ROI windows (img_tools.get_window)."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_data * n_row * n_col
+    if need > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_row}x{n_col} exceeds {len(devices)} devices")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_row, n_col)
+    return Mesh(grid, axis_names=("data", "row", "col"))

@@ -2,16 +2,29 @@
 
 TPU-native replacement for the reference's host-side ROI/margins scale-out
 hooks (img_tools.get_window, GlobalMargins — SURVEY §2.5): the scene is
-sharded column-wise over the ``tile`` mesh axis; before compute each shard
-gathers a halo from its neighbors via ``lax.ppermute`` (ICI), runs the
-fused census→SGM→WTA pipeline on the extended block, and crops the halo
-away.  Halo width = matching-cost window margin + the reference's 40 px SGM
-influence truncation + ``max(|disp|)`` for the right-image column gathers —
-so the tiled result matches the untiled one everywhere the reference's own
-tiling contract (margins + truncated SGM influence) guarantees it.
+sharded over the mesh's spatial axes; before compute each shard gathers a
+halo from its neighbors via ``lax.ppermute`` (ICI), runs the fused
+census→SGM→WTA pipeline on the extended block, and crops the halo away.
 
-The ``data`` mesh axis shards a leading batch-of-pairs dimension (pure data
-parallelism, no communication).
+Halo widths follow the reference's tiling contract (marge.py:85-106):
+
+* columns: matching-cost half window + the 40 px SGM influence truncation
+  (marge.py:86-89) + ``max(|disp|)`` for the right-image column gathers;
+* rows: half window + the 40 px SGM truncation (no disparity reach — the
+  pair is rectified, disparity shifts are purely horizontal).
+
+Within that contract the tiled result equals the untiled one everywhere
+further than one halo from a scene edge (scene-edge halos are zero-filled,
+whereas the untiled program sees true image borders — exactly the
+approximation the reference accepts when CARS tiles a scene).
+
+Mesh layouts (``make_mesh`` / ``make_mesh2d``):
+
+* ``("data", "tile")`` — batch of pairs × column tiling;
+* ``("data", "row", "col")`` — batch × 2-D spatial tiling.
+
+The ``data`` axis shards a leading batch-of-pairs dimension (pure data
+parallelism over DCN for multi-host; no communication).
 """
 
 from __future__ import annotations
@@ -27,31 +40,45 @@ from ..fused import stereo_pipeline
 from ..margins import SGM_MARGINS
 
 
-def _exchange_col_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
-    """Extend a (..., rows, cols) shard with ``halo`` columns from each
-    neighbor along the mesh axis; scene-edge shards get zero fill."""
+def _exchange_halo(x: jnp.ndarray, halo: int, axis: int, axis_name: str) -> jnp.ndarray:
+    """Extend array axis ``axis`` with ``halo`` elements from each mesh
+    neighbor along ``axis_name``; scene-edge shards get zero fill."""
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
-    left_edge = x[..., :, :halo]
-    right_edge = x[..., :, -halo:]
-    # receive from the left neighbor its right edge, and vice versa
-    from_left = jax.lax.ppermute(
-        right_edge, axis_name, [(i, i + 1) for i in range(n - 1)]
-    )
-    from_right = jax.lax.ppermute(
-        left_edge, axis_name, [(i + 1, i) for i in range(n - 1)]
-    )
-    from_left = jnp.where(idx == 0, 0.0, from_left)
-    from_right = jnp.where(idx == n - 1, 0.0, from_right)
-    return jnp.concatenate([from_left, x, from_right], axis=-1)
+    lo_slice = [slice(None)] * x.ndim
+    hi_slice = [slice(None)] * x.ndim
+    lo_slice[axis] = slice(None, halo)
+    hi_slice[axis] = slice(-halo, None)
+    lo_edge = x[tuple(lo_slice)]
+    hi_edge = x[tuple(hi_slice)]
+    # receive from the lower neighbor its high edge, and vice versa
+    from_lo = jax.lax.ppermute(hi_edge, axis_name, [(i, i + 1) for i in range(n - 1)])
+    from_hi = jax.lax.ppermute(lo_edge, axis_name, [(i + 1, i) for i in range(n - 1)])
+    from_lo = jnp.where(idx == 0, 0.0, from_lo)
+    from_hi = jnp.where(idx == n - 1, 0.0, from_hi)
+    return jnp.concatenate([from_lo, x, from_hi], axis=axis)
 
 
-def halo_width(dmin: int, dmax: int, window_size: int, use_sgm: bool) -> int:
-    """Column halo: half window + SGM 40 px margin + disparity reach."""
-    halo = (window_size - 1) // 2
+def halo_width(
+    dmin: int, dmax: int, window_size: int, use_sgm: bool, filter_margin: int = 0
+) -> int:
+    """Column halo: half window + disparity reach (the zone whose cost
+    support is incomplete at a block edge), + the SGM 40 px influence
+    margin, + the spatial reach of post-WTA filters (which read halo-column
+    disparities)."""
+    halo = (window_size - 1) // 2 + max(abs(dmin), abs(dmax))
     if use_sgm:
         halo += SGM_MARGINS.left
-    return halo + max(abs(dmin), abs(dmax))
+    return halo + filter_margin
+
+
+def row_halo_width(window_size: int, use_sgm: bool, filter_margin: int = 0) -> int:
+    """Row halo: half window (border-invalid zone) + SGM 40 px margin +
+    post-WTA filter reach (no disparity reach — shifts are horizontal)."""
+    halo = (window_size - 1) // 2
+    if use_sgm:
+        halo += SGM_MARGINS.up
+    return halo + filter_margin
 
 
 def tiled_stereo_pipeline(
@@ -68,21 +95,33 @@ def tiled_stereo_pipeline(
     refinement: Optional[str] = "vfit",
     median_size: int = 0,
 ):
-    """Build a jitted function (batch, rows, cols) x2 → (disparity, validity)
-    sharded over the ("data", "tile") mesh.
+    """Build a jitted function (batch, rows, cols) ×2 → (disparity, validity)
+    sharded over the mesh.
 
-    Input batches must be sharded with P("data", None, "tile"); cols must be
-    divisible by the tile axis size.
+    Supports the ``("data", "tile")`` mesh (column tiling; inputs sharded
+    P("data", None, "tile")) and the ``("data", "row", "col")`` mesh (2-D
+    tiling; inputs sharded P("data", "row", "col")).  Per-shard extents must
+    divide the global ones.
     """
-    halo = halo_width(dmin, dmax, window_size, optimization == "sgm")
+    two_d = "row" in mesh.axis_names and "col" in mesh.axis_names
+    col_axis = "col" if two_d else "tile"
+    filter_margin = median_size // 2
+    col_halo = halo_width(dmin, dmax, window_size, optimization == "sgm", filter_margin)
+    row_halo = (
+        row_halo_width(window_size, optimization == "sgm", filter_margin) if two_d else 0
+    )
 
     def per_shard(left, right):
-        # left/right: (local_batch, rows, local_cols)
-        # a halo cannot exceed one shard width (ppermute reaches direct
+        # left/right: (local_batch, local_rows, local_cols)
+        # a halo cannot exceed one shard extent (ppermute reaches direct
         # neighbors only) — tiny dry-run shapes clamp it
-        halo_eff = min(halo, left.shape[-1])
-        left_ext = _exchange_col_halo(left, halo_eff, "tile")
-        right_ext = _exchange_col_halo(right, halo_eff, "tile")
+        ch = min(col_halo, left.shape[-1])
+        rh = min(row_halo, left.shape[-2])
+        left_ext = _exchange_halo(left, ch, -1, col_axis)
+        right_ext = _exchange_halo(right, ch, -1, col_axis)
+        if two_d and rh:
+            left_ext = _exchange_halo(left_ext, rh, -2, "row")
+            right_ext = _exchange_halo(right_ext, rh, -2, "row")
 
         run = partial(
             stereo_pipeline,
@@ -98,9 +137,11 @@ def tiled_stereo_pipeline(
             median_size=median_size,
         )
         disp, vmask = jax.vmap(run)(left_ext, right_ext)
-        return disp[..., halo_eff:-halo_eff], vmask[..., halo_eff:-halo_eff]
+        if two_d and rh:
+            disp, vmask = disp[..., rh:-rh, :], vmask[..., rh:-rh, :]
+        return disp[..., ch:-ch], vmask[..., ch:-ch]
 
-    spec = P("data", None, "tile")
+    spec = P("data", "row", "col") if two_d else P("data", None, "tile")
     # check_vma=False: scan carries inside the per-shard pipeline start as
     # unvarying literals, which trips the varying-manual-axes check
     shard_fn = jax.shard_map(
