@@ -43,7 +43,9 @@ def stereo_pipeline(
     """Full stereo step as a pure function: (left, right) → (disparity,
     validity_mask).  All config is static."""
     if matching_cost == "census":
-        cv = census_cost_volume(left, right, dmin, dmax, subpix, window_size)
+        cv = census_cost_volume(
+            left, right, dmin, dmax, subpix, window_size, unroll=optimization is None
+        )
         type_measure = "min"
     elif matching_cost in ("sad", "ssd"):
         cv = sad_ssd_cost_volume(

@@ -57,20 +57,26 @@ def _hamming_plane(lsig: jnp.ndarray, rsig: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x, axis=-1).astype(jnp.float32)
 
 
-def _scan_integer_disps(lsig, rsig_padded, n_int, width):
-    """Hamming cost for each integer disparity via a sliding column slice.
+def _scan_integer_disps(lsig, rsig_padded, n_int, width, chunk: int = 8):
+    """Hamming cost per integer disparity via sliding dynamic slices —
+    materialization-friendly: the (n_int, H, W) result is written with
+    dense (8,128) tiles per plane.  Used when the CV feeds a Pallas kernel
+    (a fully unrolled concat's operands would each be lane-padded to 128
+    by layout assignment, a 128x footprint blow-up).
 
-    rsig_padded has columns laid out so that integer disparity index ``k``
-    reads the slice starting at column ``k``.
-    Returns (n_int, row, col) float32.
-    """
+    The scan advances ``chunk`` disparities per step (static sub-slices of
+    one dynamic slice) to amortize the while-loop overhead."""
+    n_pad = -(-n_int // chunk) * chunk
+    # widen so the last chunk's static sub-slices stay in bounds
+    rsig_padded = jnp.pad(rsig_padded, ((0, 0), (0, n_pad - n_int + chunk), (0, 0)))
 
-    def step(_, k):
-        rs = jax.lax.dynamic_slice_in_dim(rsig_padded, k, width, axis=1)
-        return None, _hamming_plane(lsig, rs)
+    def step(_, k0):
+        rs = jax.lax.dynamic_slice_in_dim(rsig_padded, k0, width + chunk - 1, axis=1)
+        planes = [_hamming_plane(lsig, rs[:, j : j + width]) for j in range(chunk)]
+        return None, jnp.stack(planes)
 
-    _, costs = jax.lax.scan(step, None, jnp.arange(n_int))
-    return costs
+    _, costs = jax.lax.scan(step, None, jnp.arange(0, n_pad, chunk))
+    return costs.reshape(n_pad, *lsig.shape[:2])[:n_int]
 
 
 def census_cost_volume(
@@ -80,6 +86,7 @@ def census_cost_volume(
     dmax: int,
     subpix: int = 1,
     window_size: int = 5,
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """Dense census cost volume (row, col, disp) float32, NaN where the
     reference never writes a cost (borders / right window out of image,
@@ -87,6 +94,11 @@ def census_cost_volume(
 
     disp axis follows the reference subpix-expanded range
     (matching_cost.py:409-427): d_k = dmin + k/subpix, D = (dmax-dmin)*subpix+1.
+
+    ``unroll=True`` emits one static slice per disparity, letting XLA fuse
+    the whole volume into its consumer (2.5x faster when the consumer is a
+    fusable reduction like WTA); keep the default scan when the CV must be
+    materialized (Pallas SGM, the modular step API).
     """
     h, w = left.shape
     hw = window_size // 2
@@ -109,12 +121,19 @@ def census_cost_volume(
         rsig_p = jnp.pad(rsig, ((0, 0), (pad_l, pad_r), (0, 0)))
         start0 = dmin + pad_l
         rsig_p = rsig_p[:, start0:] if start0 > 0 else jnp.pad(rsig_p, ((0, 0), (-start0, 0), (0, 0)))
-        per_shift.append(_scan_integer_disps(lsig, rsig_p, n_int, w))
+        if unroll:
+            per_shift.append([_hamming_plane(lsig, rsig_p[:, k : k + w]) for k in range(n_int)])
+        else:
+            per_shift.append(_scan_integer_disps(lsig, rsig_p, n_int, w))
 
     # interleave sub-pixel shifts: cv index k = (dd - dmin) * subpix + i
-    stacked = jnp.stack(per_shift, axis=1)  # (n_int, subpix, H, W)
-    cv = stacked.reshape(n_int * subpix, h, w)[:n_disp]
-    cv = jnp.moveaxis(cv, 0, -1)  # (H, W, D)
+    if unroll:
+        planes = [per_shift[k % subpix][k // subpix] for k in range(n_disp)]
+        cv = jnp.stack(planes, axis=-1)  # (H, W, D), fused into the consumer
+    else:
+        stacked = jnp.stack(per_shift, axis=1)  # (n_int, subpix, H, W)
+        cv = stacked.reshape(n_int * subpix, h, w)[:n_disp]
+        cv = jnp.moveaxis(cv, 0, -1)  # (H, W, D)
 
     # ---- validity pattern (reference loop bounds, census.cpp:132-158) ----
     cols = jnp.arange(w)[:, None]  # (W, 1)

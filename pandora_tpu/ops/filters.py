@@ -24,17 +24,27 @@ def _window_stack(a: jnp.ndarray, size: int, fill: float) -> jnp.ndarray:
 
 def nanmedian_window(a: jnp.ndarray, size: int) -> jnp.ndarray:
     """np.nanmedian over centered size×size windows; positions closer than
-    ``size//2`` to the border keep their input value (median.py:148-175)."""
+    ``size//2`` to the border keep their input value (median.py:148-175).
+
+    The k = size² window copies live on axis 0 — (k, H, W) keeps dense
+    (8,128) tiles per plane, so the sort's compare-exchanges and the
+    one-hot order-statistic selection are fused elementwise passes; a
+    minor-axis (H, W, k) layout would be lane-padded k→128 and gathered."""
     h, w = a.shape
-    stack = _window_stack(a, size, jnp.nan)
-    s = jnp.sort(stack, axis=-1)  # NaNs sort to the end
-    n = jnp.sum(~jnp.isnan(stack), axis=-1)
-    lo = jnp.clip((n - 1) // 2, 0, size * size - 1)
-    hi = jnp.clip(n // 2, 0, size * size - 1)
-    med = 0.5 * (
-        jnp.take_along_axis(s, lo[..., None], axis=-1)[..., 0]
-        + jnp.take_along_axis(s, hi[..., None], axis=-1)[..., 0]
+    r = size // 2
+    p = jnp.pad(a, r, constant_values=jnp.nan)
+    stack = jnp.stack(
+        [p[dr : dr + h, dc : dc + w] for dr in range(size) for dc in range(size)], axis=0
     )
+    k = size * size
+    s = jnp.sort(stack, axis=0)  # NaNs sort to the end
+    n = jnp.sum(~jnp.isnan(stack), axis=0)
+    lo = jnp.clip((n - 1) // 2, 0, k - 1)
+    hi = jnp.clip(n // 2, 0, k - 1)
+    med = jnp.zeros_like(a)
+    for i in range(k):
+        sel = jnp.where(lo == i, 0.5, 0.0) + jnp.where(hi == i, 0.5, 0.0)
+        med = med + jnp.where(sel > 0, sel * s[i], 0.0)
     med = jnp.where(n == 0, jnp.nan, med)
     r = size // 2
     row = jnp.arange(h)[:, None]

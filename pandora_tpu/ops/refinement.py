@@ -65,9 +65,17 @@ def refine(
     idx = jnp.where(invalid, 0, idx_f.astype(jnp.int32))
     idx_c = jnp.clip(idx, 1, n_disp - 2)
 
-    c1 = jnp.take_along_axis(cv, jnp.clip(idx, 0, n_disp - 1)[:, :, None], axis=2)[:, :, 0]
-    c0 = jnp.take_along_axis(cv, (idx_c - 1)[:, :, None], axis=2)[:, :, 0]
-    c2 = jnp.take_along_axis(cv, (idx_c + 1)[:, :, None], axis=2)[:, :, 0]
+    # one-hot masked reductions instead of take_along_axis: TPU gathers on
+    # the minor (disp) axis are ~6x slower than one fused pass over the CV
+    # computing the three selected planes as masked sums
+    iota = jnp.arange(n_disp)[None, None, :]
+
+    def _select(i):
+        return jnp.sum(jnp.where(iota == i[:, :, None], cv, 0.0), axis=2)
+
+    c1 = _select(jnp.clip(idx, 0, n_disp - 1))
+    c0 = _select(idx_c - 1)
+    c2 = _select(idx_c + 1)
 
     at_edge = (disp == d_min) | (disp == d_max)
     c1_nan = jnp.isnan(c1)

@@ -55,5 +55,7 @@ def wta(
 
 def coefficient_map(cv: jnp.ndarray, disp_indices_pos: jnp.ndarray) -> jnp.ndarray:
     """Cost at the selected disparity (disparity.coefficient_map,
-    disparity.py:142-163); ``disp_indices_pos`` are integer axis positions."""
-    return jnp.take_along_axis(cv, disp_indices_pos[:, :, None], axis=2)[:, :, 0]
+    disparity.py:142-163); ``disp_indices_pos`` are integer axis positions.
+    One-hot masked reduction — minor-axis gathers are slow on TPU."""
+    iota = jnp.arange(cv.shape[2])[None, None, :]
+    return jnp.sum(jnp.where(iota == disp_indices_pos[:, :, None], cv, 0.0), axis=2)
