@@ -39,9 +39,13 @@ def stereo_pipeline(
     p2: float = 32.0,
     refinement: Optional[str] = "vfit",
     median_size: int = 0,
+    sgm_fused_epilogue: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full stereo step as a pure function: (left, right) → (disparity,
-    validity_mask).  All config is static."""
+    validity_mask).  All config is static.
+
+    ``sgm_fused_epilogue=False`` forces the materializing Σ+WTA+refine
+    epilogue instead of the combine-kernel fast path (A/B benchmarking)."""
     if matching_cost == "census":
         cv = census_cost_volume(
             left, right, dmin, dmax, subpix, window_size, unroll=optimization is None
@@ -57,13 +61,34 @@ def stereo_pipeline(
         type_measure = "max"
 
     if optimization == "sgm":
+        use_pallas = sgm_ops.default_use_pallas()
+        from .ops.sgm_pallas import pallas_supported
+
+        ones = jnp.ones((8, 1, 1), jnp.float32)
+        if (
+            sgm_fused_epilogue
+            and use_pallas
+            and pallas_supported(cv.shape, ones, ones, None, False)
+        ):
+            # fully fused fast path: NaN→super-cost, 8-path partials, then
+            # one combine kernel doing Σ + WTA + vfit-triplet in VMEM —
+            # the aggregated volume never reaches HBM
+            disp, vmask = _sgm_wta_pallas_path(
+                cv, type_measure, dmin, dmax, subpix, p1, p2, refinement
+            )
+            if median_size:
+                disp = median_filter_disparity(
+                    disp, vmask, cst.PANDORA_MSK_PIXEL_INVALID, median_size
+                )
+            return disp, vmask
+
         cv, _ = sgm_ops.sgm_optimize_volume(
             cv,
             None,
             None,
             jnp.float32(p2),
             type_measure=type_measure,
-            use_pallas=sgm_ops.default_use_pallas(),
+            use_pallas=use_pallas,
             p1_const=float(p1),
             p2_const=float(p2),
         )
@@ -79,6 +104,37 @@ def stereo_pipeline(
     if median_size:
         disp = median_filter_disparity(
             disp, vmask, cst.PANDORA_MSK_PIXEL_INVALID, median_size
+        )
+    return disp, vmask
+
+
+# super-cost sentinel for invalid CV entries on the fused Pallas path.
+# Valid aggregated totals are bounded by 8·(cmax + P2) — at most ~5e4 for
+# SAD's 255·w² — so THRESH cleanly separates any entry whose data term was
+# the sentinel (its total is ≥ SUPER since path messages are ≥ 0).
+_SUPER = 1.0e7
+_THRESH = 5.0e6
+
+
+def _sgm_wta_pallas_path(cv, type_measure, dmin, dmax, subpix, p1, p2, refinement):
+    from .ops.refinement import refine_from_triplet
+    from .ops.sgm_pallas import combine_wta_pallas, sgm_aggregate_partials_pallas
+
+    work = -cv if type_measure == "max" else cv
+    work = jnp.where(jnp.isnan(work), _SUPER, work)
+    n_disp = cv.shape[2]
+    partials, _ = sgm_aggregate_partials_pallas(work, float(p1), float(p2))
+    idx, c0, c1, c2 = combine_wta_pallas(partials, cv.shape[:2], n_disp, _THRESH)
+
+    disp = jnp.float32(dmin) + idx.astype(jnp.float32) / jnp.float32(subpix)
+    invalid_mc = jnp.isnan(c1)  # every disparity invalid (wta all-NaN rule)
+    disp = jnp.where(invalid_mc, jnp.nan, disp)
+    vmask = jnp.where(
+        invalid_mc, jnp.uint16(cst.PANDORA_MSK_PIXEL_INVALID), jnp.uint16(0)
+    )
+    if refinement in ("vfit", "quadratic"):
+        disp, vmask, _ = refine_from_triplet(
+            c0, c1, c2, disp, vmask, float(dmin), float(dmax), subpix, "min", refinement
         )
     return disp, vmask
 

@@ -57,7 +57,7 @@ def _hamming_plane(lsig: jnp.ndarray, rsig: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x, axis=-1).astype(jnp.float32)
 
 
-def _scan_integer_disps(lsig, rsig_padded, n_int, width, chunk: int = 8):
+def _scan_integer_disps(lsig, rsig_padded, n_int, width, chunk: int = 16):
     """Hamming cost per integer disparity via sliding dynamic slices —
     materialization-friendly: the (n_int, H, W) result is written with
     dense (8,128) tiles per plane.  Used when the CV feeds a Pallas kernel

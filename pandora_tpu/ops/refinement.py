@@ -77,6 +77,30 @@ def refine(
     c0 = _select(idx_c - 1)
     c2 = _select(idx_c + 1)
 
+    return refine_from_triplet(
+        c0, c1, c2, disp, validity_mask, d_min, d_max, subpix, type_measure, method
+    )
+
+
+def refine_from_triplet(
+    c0: jnp.ndarray,
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    disp: jnp.ndarray,
+    validity_mask: jnp.ndarray,
+    d_min: float,
+    d_max: float,
+    subpix: int,
+    type_measure: str,
+    method: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Refinement given the pre-extracted (c[idx-1], c[idx], c[idx+1])
+    cost triplet — the Pallas fused SGM→WTA path emits the triplet in its
+    combine pass, skipping the CV re-read."""
+    fit = _METHODS[method]
+    inverse = -1.0 if type_measure == "max" else 1.0
+    invalid = (validity_mask & cst.PANDORA_MSK_PIXEL_INVALID) != 0
+
     at_edge = (disp == d_min) | (disp == d_max)
     c1_nan = jnp.isnan(c1)
     neighbors_nan = jnp.isnan(c0) | jnp.isnan(c2)

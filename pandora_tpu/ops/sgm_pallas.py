@@ -138,19 +138,17 @@ def _pad_to(a: jnp.ndarray, h8: int, w8: int, value: float) -> jnp.ndarray:
     return jnp.pad(a, pads, constant_values=value)
 
 
-def sgm_aggregate_pallas(
+def sgm_aggregate_partials_pallas(
     cost: jnp.ndarray,
     p1: float,
     p2: float,
     p2_planes: Optional[jnp.ndarray] = None,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Sum of the 8 directional path costs (constant P1; P2 constant or
-    per-direction-per-pixel (8, H, W) in ops/sgm.ALL_DIRS order).
-
-    ``cost`` must be finite (caller replaces NaN).  Matches
-    ops.sgm.sgm_aggregate without segments/min_cost_paths/overcounting.
-    """
+):
+    """The 8 directional path costs as 4 partial (h8, w8, d) volumes
+    (row-pass down/up triples, col-pass left/right) plus the padded shape —
+    callers either sum them (sgm_aggregate_pallas) or feed them to the
+    fused combine+WTA kernel without materializing the total."""
     h, w, d = cost.shape
     b = _BLOCK
     h8 = -(-h // b) * b
@@ -224,8 +222,83 @@ def sgm_aggregate_pallas(
         interpret=interpret,
     )(*cargs)
 
+    return (row_n, row_f, col_n, col_f), (h8, w8)
+
+
+def sgm_aggregate_pallas(
+    cost: jnp.ndarray,
+    p1: float,
+    p2: float,
+    p2_planes: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sum of the 8 directional path costs (constant P1; P2 constant or
+    per-direction-per-pixel (8, H, W) in ops/sgm.ALL_DIRS order).
+
+    ``cost`` must be finite (caller replaces NaN).  Matches
+    ops.sgm.sgm_aggregate without segments/min_cost_paths/overcounting.
+    """
+    h, w = cost.shape[:2]
+    (row_n, row_f, col_n, col_f), _ = sgm_aggregate_partials_pallas(
+        cost, p1, p2, p2_planes, interpret
+    )
     total = row_n + row_f + col_n + col_f
     return total[:h, :w]
+
+
+def _combine_wta_kernel(n_disp, threshold, *refs):
+    """Grid step: total = Σ 4 partials, then WTA + vfit-triplet extraction
+    in VMEM — the total volume never reaches HBM.
+
+    refs: rn, rf, cn, cf (B, W, D) → idx (B, W) f32, c0, c1, c2 (B, W).
+    Entries ≥ threshold are the super-cost (invalid) sentinels: excluded
+    from the argmin and reported as NaN in the triplet."""
+    rn, rf, cn, cf, idx_ref, c0_ref, c1_ref, c2_ref = refs
+    t = rn[...] + rf[...] + cn[...] + cf[...]  # (B, W, D)
+    inv = t >= threshold
+    g = jnp.where(inv, _BIG, t)
+    m = jnp.min(g, axis=2, keepdims=True)  # (B, W, 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 2)
+    # first-occurrence argmin (numpy tie-breaking)
+    idx = jnp.min(jnp.where(g == m, iota, n_disp), axis=2)  # (B, W)
+    idx_c = jnp.clip(idx, 1, n_disp - 2)
+    tn = jnp.where(inv, jnp.nan, t)
+
+    def sel(i):
+        return jnp.sum(jnp.where(iota == i[..., None], tn, 0.0), axis=2)
+
+    all_inv = m[..., 0] >= _BIG * 0.5
+    idx_ref[...] = idx.astype(jnp.float32)
+    c0_ref[...] = sel(idx_c - 1)
+    c1_ref[...] = jnp.where(all_inv, jnp.nan, sel(idx))
+    c2_ref[...] = sel(idx_c + 1)
+
+
+def combine_wta_pallas(partials, hw, n_disp, threshold, interpret: bool = False):
+    """Fused Σ-partials + WTA + triplet: one read of the 4 partial volumes,
+    no materialized total.  Returns (idx int32, c0, c1, c2) cropped to
+    (h, w); idx is the argmin position, c* the costs at idx-1/idx/idx+1
+    with NaN where the entry is invalid (c1 NaN ⇔ every disparity invalid,
+    the wta() all-NaN convention)."""
+    h, w = hw
+    h8, w8, d = partials[0].shape
+    b = _BLOCK
+    gr = h8 // b
+    vol_spec = pl.BlockSpec((b, w8, d), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    map_spec = pl.BlockSpec((b, w8), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    map_sds = jax.ShapeDtypeStruct((h8, w8), jnp.float32)
+    params = pltpu.CompilerParams(vmem_limit_bytes=int(100 * 1024 * 1024))
+    idx_f, c0, c1, c2 = pl.pallas_call(
+        partial(_combine_wta_kernel, n_disp, threshold),
+        grid=(gr,),
+        in_specs=[vol_spec] * 4,
+        out_specs=(map_spec,) * 4,
+        out_shape=(map_sds,) * 4,
+        compiler_params=params,
+        interpret=interpret,
+    )(*partials)
+    crop = (slice(None, h), slice(None, w))
+    return idx_f[crop].astype(jnp.int32), c0[crop], c1[crop], c2[crop]
 
 
 def pallas_supported(cost_shape: Tuple[int, int, int], p1_planes, p2_planes, segments, min_cost_paths) -> bool:

@@ -47,3 +47,51 @@ def test_pallas_matches_lax_unaligned_multiblock():
     want2, _ = sgm_aggregate(jnp.asarray(cost), p1g, p2g)
     got2 = sgm_aggregate_pallas(jnp.asarray(cost), 2.0, 0.0, p2_planes=p2g, interpret=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-5, atol=1e-4)
+
+
+def test_combine_wta_matches_separate_epilogue():
+    """Fused Σ-partials + WTA + triplet kernel == materializing epilogue
+    (sum → NaN restore → wta → one-hot triplet extraction)."""
+    from pandora_tpu.ops.sgm_pallas import (
+        combine_wta_pallas,
+        sgm_aggregate_partials_pallas,
+    )
+    from pandora_tpu.ops.wta import wta
+    from pandora_tpu.ops.refinement import refine, refine_from_triplet
+
+    h, w, d = 13, 21, 6
+    cost = (RNG.random((h, w, d)) * 10).astype(np.float32)
+    nan_mask = RNG.random((h, w, d)) < 0.15
+    nan_mask[3, 4, :] = True  # one all-invalid pixel
+    cv = np.where(nan_mask, np.nan, cost).astype(np.float32)
+
+    super_cost = 1.0e7
+    work = jnp.where(jnp.isnan(jnp.asarray(cv)), super_cost, jnp.asarray(cv))
+    partials, hw8 = sgm_aggregate_partials_pallas(work, 1.5, 4.0, interpret=True)
+    idx, c0, c1, c2 = combine_wta_pallas(partials, (h, w), d, 5.0e6, interpret=True)
+
+    total = (partials[0] + partials[1] + partials[2] + partials[3])[:h, :w]
+    total = jnp.where(jnp.isnan(jnp.asarray(cv)), jnp.nan, total)
+    dv = jnp.arange(-(d - 1), 1, dtype=jnp.float32)
+    disp_ref, vmask_ref, _ = wta(total, dv, "min", jnp.nan, None)
+    ref_d, ref_m, ref_c = refine(
+        total, disp_ref, vmask_ref, float(-(d - 1)), 0.0, 1, "min", "vfit"
+    )
+
+    disp_f = jnp.float32(-(d - 1)) + idx.astype(jnp.float32)
+    invalid_mc = jnp.isnan(c1)
+    disp_f = jnp.where(invalid_mc, jnp.nan, disp_f)
+    import pandora_tpu.constants as cst
+
+    vmask_f = jnp.where(invalid_mc, jnp.uint16(cst.PANDORA_MSK_PIXEL_INVALID), jnp.uint16(0))
+    got_d, got_m, got_c = refine_from_triplet(
+        c0, c1, c2, disp_f, vmask_f, float(-(d - 1)), 0.0, 1, "min", "vfit"
+    )
+
+    np.testing.assert_array_equal(np.asarray(vmask_f), np.asarray(vmask_ref))
+    for got, want in ((got_d, ref_d), (got_m, ref_m), (got_c, ref_c)):
+        g, t = np.asarray(got), np.asarray(want)
+        both_nan = np.isnan(g) & np.isnan(t)
+        np.testing.assert_allclose(
+            np.where(both_nan, 0.0, g), np.where(both_nan, 0.0, t), rtol=1e-6, atol=1e-5
+        )
