@@ -97,7 +97,15 @@ def _read_tiff_native(path: str):
         return None
     dt = np.dtype(f"{bo}{kind}{bits // 8}")
 
-    def chunks(offsets, counts):
+    def chunks(offsets, counts, sizes):
+        # parallel native decode (native/raster_codec.cpp) with a pure
+        # Python zlib fallback
+        from . import _native
+
+        decoded = _native.decode_chunks(raw, list(offsets), list(counts), sizes, comp)
+        if decoded is not None:
+            yield from decoded
+            return
         for o, c in zip(offsets, counts):
             blob = raw[o : o + c]
             yield zlib.decompress(blob) if comp in (8, 32946) else blob
@@ -109,7 +117,8 @@ def _read_tiff_native(path: str):
         n_planes = spp if planar == 2 else 1
         samples_per_tile = spp if planar == 1 else 1
         out = np.zeros((spp, height, width), dt.newbyteorder("="))
-        it = chunks(tags[324], tags[325])
+        tile_bytes = th * tw * samples_per_tile * dt.itemsize
+        it = chunks(tags[324], tags[325], [tile_bytes] * len(tags[324]))
         for p in range(n_planes):
             for ty in range(tiles_y):
                 for tx in range(tiles_x):
@@ -129,7 +138,12 @@ def _read_tiff_native(path: str):
         n_planes = spp if planar == 2 else 1
         samples_per_row = width * (spp if planar == 1 else 1)
         out = np.zeros((spp, height, width), dt.newbyteorder("="))
-        it = chunks(tags[_T_STRIPOFFSETS], tags[_T_STRIPBYTECOUNTS])
+        strip_sizes = [
+            min(rps, height - s * rps) * samples_per_row * dt.itemsize
+            for _ in range(n_planes)
+            for s in range(strips_per_plane)
+        ]
+        it = chunks(tags[_T_STRIPOFFSETS], tags[_T_STRIPBYTECOUNTS], strip_sizes)
         for p in range(n_planes):
             for s in range(strips_per_plane):
                 buf = np.frombuffer(next(it), dt)
