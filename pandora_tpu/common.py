@@ -42,6 +42,7 @@ def save_dataset(disp: DisparityMap, output: str, prefix: str) -> None:
             np.moveaxis(conf, -1, 0),
             transform=disp.transform,
             crs=disp.crs,
+            band_names=disp.indicator_names or None,
         )
 
 
@@ -65,7 +66,12 @@ class _NanEncoder(json.JSONEncoder):
 
 def save_config(output: str, user_cfg: Dict[str, Any]) -> None:
     """Persist the executed config incl. computed margins
-    (common.save_config, common.py:202-220)."""
+    (common.save_config, common.py:202-220) and the command line
+    (output_tree_design.py OTD 'command_line.txt')."""
+    import sys
+
     mkdir_p(os.path.join(output, "cfg"))
     with open(os.path.join(output, "cfg", "config.json"), "w", encoding="utf-8") as fh:
         json.dump(user_cfg, fh, indent=2, cls=_NanEncoder)
+    with open(os.path.join(output, "cfg", "command_line.txt"), "w", encoding="utf-8") as fh:
+        fh.write(" ".join(sys.argv) + "\n")

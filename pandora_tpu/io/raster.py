@@ -319,6 +319,7 @@ def write_geotiff(
     transform: Optional[Tuple[float, ...]] = None,
     crs: Optional[str] = None,
     nodata: Optional[float] = None,
+    band_names: Optional[Tuple[str, ...]] = None,
 ) -> None:
     """Write a GeoTIFF (uncompressed, single strip), single or multi band
     ((rows, cols) or (bands, rows, cols) pixel-interleaved).
@@ -371,6 +372,16 @@ def write_geotiff(
     if nodata is not None:
         nd = (f"{nodata}").encode() + b"\x00"
         external.append((_T_GDAL_NODATA, 2, len(nd), nd))
+    if band_names:
+        # band descriptions, same GDAL_METADATA XML rasterio/GDAL writes
+        # (read back by _gdal_band_names; reference: common.write_data_array
+        # band_names, common.py:70-99)
+        items = "".join(
+            f'<Item name="DESCRIPTION" sample="{i}" role="description">{n}</Item>\n'
+            for i, n in enumerate(band_names)
+        )
+        xml = f"<GDALMetadata>\n{items}</GDALMetadata>\n".encode() + b"\x00"
+        external.append((_T_GDAL_METADATA, 2, len(xml), xml))
 
     n_entries = len(entries) + len(external) + 2  # + strip offsets/bytecounts
     ifd_size = 2 + n_entries * 12 + 4

@@ -218,4 +218,6 @@ class StdIntensityConfidence(ConfidenceBase):
             (row >= offset) & (row < h - offset) & (col >= offset) & (col < wdt - offset)
         )
         std = jnp.where(interior, std, jnp.nan)
-        allocate_confidence_map("std_intensity" + self.cfg["indicator"], std, disp_ds, cv)
+        # the reference class's _method is "intensity_std", not the config
+        # string (std_intensity.py:45,56)
+        allocate_confidence_map("intensity_std" + self.cfg["indicator"], std, disp_ds, cv)

@@ -228,3 +228,34 @@ def test_multiband_band_names_from_gdal_metadata():
     data, _, _, _, band_names = read_raster("/root/reference/tests/pandora/left_rgb.tif")
     assert data.shape[0] == 3
     assert band_names == ("red", "green", "blue")
+
+
+@pytest.mark.functional
+def test_confidence_band_names_roundtrip(tmp_path):
+    """Confidence GeoTIFF carries indicator band descriptions
+    (write_data_array band_names, common.py:70-99) and cfg/ holds
+    command_line.txt (output_tree_design OTD)."""
+    cfg = {
+        "input": {
+            "left": {"img": "/root/reference/tests/pandora/left.png", "disp": [-60, 0]},
+            "right": {"img": "/root/reference/tests/pandora/right.png"},
+        },
+        "pipeline": {
+            "matching_cost": {"matching_cost_method": "census", "window_size": 5},
+            "cost_volume_confidence": {"confidence_method": "std_intensity"},
+            "cost_volume_confidence.amb": {"confidence_method": "ambiguity"},
+            "disparity": {"disparity_method": "wta"},
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    pandora_tpu.main(str(cfg_path), str(tmp_path))
+    from pandora_tpu.io.raster import read_raster
+
+    conf, _, _, _, names = read_raster(str(tmp_path / "left_confidence_measure.tif"))
+    assert conf.shape[0] == 2
+    assert names == (
+        "confidence_from_intensity_std",
+        "confidence_from_ambiguity.amb",
+    )
+    assert (tmp_path / "cfg" / "command_line.txt").exists()
