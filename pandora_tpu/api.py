@@ -58,6 +58,22 @@ def create_image_from_inputs(img_cfg: Dict[str, Any], disp) -> Image:
     )
 
 
+def check_datasets(left: Image, right: Image) -> None:
+    """Dataset coherence (check_configuration.check_datasets, :145-167):
+    the left image must carry a disparity range, and both images must
+    share the same (row, col) shape; auxiliary layers must match too."""
+    if left.disp_min is None:
+        raise AttributeError("left dataset must have disparity DataArray")
+    if left.im.shape[-2:] != right.im.shape[-2:]:
+        raise AttributeError("left and right datasets must have the same shape")
+    for img in (left, right):
+        shape = img.im.shape[-2:]
+        for layer in ("msk", "classif", "segm", "edges"):
+            arr = getattr(img, layer, None)
+            if arr is not None and tuple(arr.shape[-2:]) != tuple(shape):
+                raise AttributeError(f"{layer} shape {arr.shape} != image shape {shape}")
+
+
 def images_from_config(cfg_input: Dict[str, Any]) -> Tuple[Image, Image]:
     left = create_image_from_inputs(cfg_input["left"], cfg_input["left"]["disp"])
     right_disp = cfg_input["right"]["disp"]
@@ -105,6 +121,7 @@ def main(cfg_path: str, output: str, verbose: bool = False) -> None:
             if isinstance(v, str) and not os.path.isabs(v):
                 cfg["input"][side][key] = os.path.join(base, v)
     left_img, right_img = images_from_config(cfg["input"])
+    check_datasets(left_img, right_img)
     left_disp, right_disp, _ = run(pipeline, left_img, right_img)
     common.save_results(left_disp, right_disp, output)
     cfg["margins"] = pipeline.margins.to_dict()

@@ -259,3 +259,25 @@ def test_confidence_band_names_roundtrip(tmp_path):
         "confidence_from_ambiguity.amb",
     )
     assert (tmp_path / "cfg" / "command_line.txt").exists()
+
+
+def test_check_datasets():
+    """check_datasets coherence rules (check_configuration.py:145-167)."""
+    import jax.numpy as jnp
+
+    from pandora_tpu import check_datasets, make_image
+
+    left = make_image(np.zeros((1, 6, 8), np.float32), disp=[-2, 2])
+    right = make_image(np.zeros((1, 6, 8), np.float32))
+    check_datasets(left, right)
+
+    with pytest.raises(AttributeError, match="disparity"):
+        check_datasets(right, left)
+    bad = make_image(np.zeros((1, 6, 9), np.float32))
+    with pytest.raises(AttributeError, match="same shape"):
+        check_datasets(left, bad)
+    badmask = make_image(
+        np.zeros((1, 6, 8), np.float32), disp=[-2, 2], msk=np.zeros((5, 8), np.int16)
+    )
+    with pytest.raises(AttributeError, match="msk"):
+        check_datasets(badmask, right)
