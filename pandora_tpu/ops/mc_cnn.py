@@ -102,6 +102,10 @@ def mc_cnn_cost_volume(
     h, w = left.shape
     n = n_layers_of(params)
     m = n  # margin = receptive radius
+    # per-image zero-mean / unit-std normalization (Žbontar-2016 §3.3;
+    # training patches in scripts/train_mc_cnn.py see the same transform)
+    left = (left - jnp.mean(left)) / (jnp.std(left) + 1e-8)
+    right = (right - jnp.mean(right)) / (jnp.std(right) + 1e-8)
     fl = features(params, left)  # (h', w', C)
     fr = features(params, right)
     hp, wp, c = fl.shape

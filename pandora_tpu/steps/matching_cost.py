@@ -268,18 +268,29 @@ class McCnnMatchingCost(MatchingCostBase):
         return validate(schema, out)
 
     def _params(self):
+        import os
+
         from ..ops import mc_cnn as mc_cnn_ops
 
         if getattr(self, "_cached_params", None) is None:
             path = self.cfg["model_path"]
+            if not path:
+                # bundled checkpoint trained in-framework on TPU
+                # (scripts/train_mc_cnn.py) — the counterpart of the
+                # plugin's pretrained Middlebury weights
+                bundled = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "..", "data", "mc_cnn_fast.npz"
+                )
+                path = bundled if os.path.exists(bundled) else None
             if path:
                 self._cached_params = mc_cnn_ops.load_params(path)
             else:
                 import logging
 
                 logging.warning(
-                    "mc_cnn: no model_path given - using seeded random weights "
-                    "(untrained); pass an .npz checkpoint for real accuracy"
+                    "mc_cnn: no model_path and no bundled checkpoint - using "
+                    "seeded random weights (untrained); run "
+                    "scripts/train_mc_cnn.py or pass an .npz checkpoint"
                 )
                 self._cached_params = mc_cnn_ops.init_params()
         return self._cached_params

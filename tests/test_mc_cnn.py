@@ -28,9 +28,12 @@ def test_cost_volume_validity_and_values():
     m = mc.N_LAYERS
     # borders NaN
     assert np.isnan(cv[:m]).all() and np.isnan(cv[:, :m]).all()
-    # interior: matches the explicit feature dot product
-    fl = np.asarray(mc.features(params, left))
-    fr = np.asarray(mc.features(params, right))
+    # interior: matches the explicit feature dot product (the CV applies
+    # the paper's per-image zero-mean/unit-std normalization first)
+    lnorm = (left - jnp.mean(left)) / (jnp.std(left) + 1e-8)
+    rnorm = (right - jnp.mean(right)) / (jnp.std(right) + 1e-8)
+    fl = np.asarray(mc.features(params, lnorm))
+    fr = np.asarray(mc.features(params, rnorm))
     r, c, d = 3, 6, 2  # inner feature coords; disparity dmin+d = -1
     want = -np.dot(fl[r, c], fr[r, c + (dmin + d)])
     np.testing.assert_allclose(cv[r + m, c + m, d], want, rtol=1e-5)
@@ -95,3 +98,31 @@ def test_step_rejects_bad_window():
 
     with pytest.raises(SchemaError):
         Pipeline({"matching_cost": {"matching_cost_method": "mc_cnn", "window_size": 5}})
+
+
+@pytest.mark.functional
+def test_mc_cnn_bundled_checkpoint_cones(cones):
+    """The bundled in-framework-trained checkpoint (scripts/train_mc_cnn.py)
+    gives learned-cost quality on cones: raw mc_cnn+WTA must beat the
+    census+WTA floor by a wide margin (counterpart of the plugin's
+    pretrained weights, plugin_mccnn.rst:42-58)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from pandora_tpu.ops import mc_cnn
+    from pandora_tpu.ops.wta import wta
+    from conftest import error_rate
+
+    bundled = os.path.join(
+        os.path.dirname(mc_cnn.__file__), "..", "data", "mc_cnn_fast.npz"
+    )
+    assert os.path.exists(bundled)
+    params = mc_cnn.load_params(bundled)
+    cv = mc_cnn.mc_cnn_cost_volume(
+        params, jnp.asarray(cones["left"]), jnp.asarray(cones["right"]), -60, 0
+    )
+    dv = jnp.arange(-60, 1, dtype=jnp.float32)
+    disp, _, _ = wta(cv, dv, "min", jnp.nan, None)
+    err = error_rate(np.asarray(disp), cones["gt_left"], 1)
+    assert err <= 0.25  # census+WTA is ~0.40; trained mc_cnn ~0.18
