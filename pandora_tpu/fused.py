@@ -73,8 +73,17 @@ def stereo_pipeline(
             # fully fused fast path: NaN→super-cost, 8-path partials, then
             # one combine kernel doing Σ + WTA + vfit-triplet in VMEM —
             # the aggregated volume never reaches HBM
+            # bf16 partial volumes are bit-exact when every path cost is an
+            # integer <= 256 (integer penalties, census costs <= w², row
+            # triples <= 3·(cmax+P2)) — half the HBM traffic for free
+            bf16_ok = (
+                matching_cost == "census"
+                and float(p1).is_integer()
+                and float(p2).is_integer()
+                and 3 * (window_size**2 + p2) <= 256
+            )
             disp, vmask = _sgm_wta_pallas_path(
-                cv, type_measure, dmin, dmax, subpix, p1, p2, refinement
+                cv, type_measure, dmin, dmax, subpix, p1, p2, refinement, bf16_ok
             )
             if median_size:
                 disp = median_filter_disparity(
@@ -116,14 +125,19 @@ _SUPER = 1.0e7
 _THRESH = 5.0e6
 
 
-def _sgm_wta_pallas_path(cv, type_measure, dmin, dmax, subpix, p1, p2, refinement):
+def _sgm_wta_pallas_path(
+    cv, type_measure, dmin, dmax, subpix, p1, p2, refinement, bf16_partials=False
+):
     from .ops.refinement import refine_from_triplet
     from .ops.sgm_pallas import combine_wta_pallas, sgm_aggregate_partials_pallas
 
     work = -cv if type_measure == "max" else cv
     work = jnp.where(jnp.isnan(work), _SUPER, work)
     n_disp = cv.shape[2]
-    partials, _ = sgm_aggregate_partials_pallas(work, float(p1), float(p2))
+    out_dtype = jnp.bfloat16 if bf16_partials else jnp.float32
+    partials, _ = sgm_aggregate_partials_pallas(
+        work, float(p1), float(p2), out_dtype=out_dtype
+    )
     idx, c0, c1, c2 = combine_wta_pallas(partials, cv.shape[:2], n_disp, _THRESH)
 
     disp = jnp.float32(dmin) + idx.astype(jnp.float32) / jnp.float32(subpix)

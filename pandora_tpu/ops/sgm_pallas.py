@@ -93,8 +93,10 @@ def _row_kernel(p1, p2, *refs):
             p2c = p2 if p2_ref is None else p2_ref[j, ch][:, None]
             l_all.append(cost + _msg(pv, p1, p2c))
         prev = jnp.stack(l_all)
-        out_n_ref[j] = l_all[0] + l_all[1] + l_all[2]
-        out_f_ref[b - 1 - j] = l_all[3] + l_all[4] + l_all[5]
+        # cast on write: callers may request bf16 partials (exact when every
+        # L is an integer <= 256 — see sgm_aggregate_partials_pallas)
+        out_n_ref[j] = (l_all[0] + l_all[1] + l_all[2]).astype(out_n_ref.dtype)
+        out_f_ref[b - 1 - j] = (l_all[3] + l_all[4] + l_all[5]).astype(out_f_ref.dtype)
     carry_ref[...] = prev
 
 
@@ -125,8 +127,8 @@ def _col_kernel(p1, p2, *refs):
             p2c = p2 if p2_ref is None else p2_ref[j, ch][:, None]
             l_all.append(cost + _msg(prev[ch], p1, p2c))
         prev = jnp.stack(l_all)
-        out_n_ref[:, j] = l_all[0]
-        out_f_ref[:, b - 1 - j] = l_all[1]
+        out_n_ref[:, j] = l_all[0].astype(out_n_ref.dtype)
+        out_f_ref[:, b - 1 - j] = l_all[1].astype(out_f_ref.dtype)
     carry_ref[...] = prev
 
 
@@ -144,11 +146,18 @@ def sgm_aggregate_partials_pallas(
     p2: float,
     p2_planes: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    out_dtype: jnp.dtype = jnp.float32,
 ):
     """The 8 directional path costs as 4 partial (h8, w8, d) volumes
     (row-pass down/up triples, col-pass left/right) plus the padded shape —
     callers either sum them (sgm_aggregate_pallas) or feed them to the
-    fused combine+WTA kernel without materializing the total."""
+    fused combine+WTA kernel without materializing the total.
+
+    ``out_dtype=bfloat16`` halves the partials' HBM traffic and is EXACT
+    when every L-value is an integer ≤ 256: integer P1/P2 and
+    3·(cmax + P2) ≤ 256 (each directional L ≤ cmax + P2; row triples sum
+    three of them).  The 1e7 invalid sentinel survives bf16 rounding far
+    above the combine threshold."""
     h, w, d = cost.shape
     b = _BLOCK
     h8 = -(-h // b) * b
@@ -157,8 +166,8 @@ def sgm_aggregate_partials_pallas(
     cpad = _pad_to(cost, h8, w8, _BIG)
     params = pltpu.CompilerParams(vmem_limit_bytes=int(100 * 1024 * 1024))
     out_sds = (
-        jax.ShapeDtypeStruct((h8, w8, d), jnp.float32),
-        jax.ShapeDtypeStruct((h8, w8, d), jnp.float32),
+        jax.ShapeDtypeStruct((h8, w8, d), out_dtype),
+        jax.ShapeDtypeStruct((h8, w8, d), out_dtype),
     )
 
     # ---- row pass: 6 channels ------------------------------------------
@@ -254,7 +263,10 @@ def _combine_wta_kernel(n_disp, threshold, *refs):
     Entries ≥ threshold are the super-cost (invalid) sentinels: excluded
     from the argmin and reported as NaN in the triplet."""
     rn, rf, cn, cf, idx_ref, c0_ref, c1_ref, c2_ref = refs
-    t = rn[...] + rf[...] + cn[...] + cf[...]  # (B, W, D)
+    f32 = jnp.float32
+    t = (
+        rn[...].astype(f32) + rf[...].astype(f32) + cn[...].astype(f32) + cf[...].astype(f32)
+    )  # (B, W, D)
     inv = t >= threshold
     g = jnp.where(inv, _BIG, t)
     m = jnp.min(g, axis=2, keepdims=True)  # (B, W, 1)

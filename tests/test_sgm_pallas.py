@@ -95,3 +95,22 @@ def test_combine_wta_matches_separate_epilogue():
         np.testing.assert_allclose(
             np.where(both_nan, 0.0, g), np.where(both_nan, 0.0, t), rtol=1e-6, atol=1e-5
         )
+
+
+def test_bf16_partials_bit_exact_for_integer_costs():
+    """bf16 partial volumes are bit-exact when costs and penalties are
+    integers with 3*(cmax+P2) <= 256 (the census-5x5 + P2=32 regime)."""
+    from pandora_tpu.ops.sgm_pallas import sgm_aggregate_partials_pallas
+
+    h, w, d = 11, 13, 5
+    cost = RNG.integers(0, 26, (h, w, d)).astype(np.float32)  # census-like
+    f32, _ = sgm_aggregate_partials_pallas(jnp.asarray(cost), 8.0, 32.0, interpret=True)
+    b16, _ = sgm_aggregate_partials_pallas(
+        jnp.asarray(cost), 8.0, 32.0, interpret=True, out_dtype=jnp.bfloat16
+    )
+    # compare the real area only: padding cells hold _BIG accumulations,
+    # which bf16 legitimately rounds (they are masked by the threshold)
+    for a, b in zip(f32, b16):
+        np.testing.assert_array_equal(
+            np.asarray(a)[:h, :w], np.asarray(b, np.float32)[:h, :w]
+        )
