@@ -80,8 +80,6 @@ def images_from_config(cfg_input: Dict[str, Any]) -> Tuple[Image, Image]:
     right = create_image_from_inputs(cfg_input["right"], right_disp)
     if right.disp_min is None and left.disp_min is not None:
         # default right range = -reversed left (pandora/__init__.py:184-185)
-        import jax.numpy as jnp
-
         right.disp_min = -left.disp_max
         right.disp_max = -left.disp_min
         right.disparity_source = left.disparity_source
