@@ -46,30 +46,47 @@ def stereo_pipeline(
 
     ``sgm_fused_epilogue=False`` forces the materializing Σ+WTA+refine
     epilogue instead of the combine-kernel fast path (A/B benchmarking)."""
+    # decide the fused-SGM fast path up front: census can then bake the
+    # super-cost sentinel into its masking pass (one less volume round trip)
+    n_disp = (dmax - dmin) * subpix + 1
+    sgm_fast = False
+    if optimization == "sgm":
+        from .ops.sgm_pallas import pallas_supported
+
+        ones = jnp.ones((8, 1, 1), jnp.float32)
+        sgm_fast = (
+            sgm_fused_epilogue
+            and sgm_ops.default_use_pallas()
+            and pallas_supported((*left.shape, n_disp), ones, ones, None, False)
+        )
+
     if matching_cost == "census":
         cv = census_cost_volume(
-            left, right, dmin, dmax, subpix, window_size, unroll=optimization is None
+            left,
+            right,
+            dmin,
+            dmax,
+            subpix,
+            window_size,
+            unroll=optimization is None,
+            invalid_value=_SUPER if sgm_fast else float("nan"),
         )
         type_measure = "min"
+        presubstituted = sgm_fast
     elif matching_cost in ("sad", "ssd"):
         cv = sad_ssd_cost_volume(
             left, right, dmin, dmax, subpix, window_size, matching_cost == "ssd"
         )
         type_measure = "min"
+        presubstituted = False
     else:
         cv = zncc_cost_volume(left, right, dmin, dmax, subpix, window_size)
         type_measure = "max"
+        presubstituted = False
 
     if optimization == "sgm":
         use_pallas = sgm_ops.default_use_pallas()
-        from .ops.sgm_pallas import pallas_supported
-
-        ones = jnp.ones((8, 1, 1), jnp.float32)
-        if (
-            sgm_fused_epilogue
-            and use_pallas
-            and pallas_supported(cv.shape, ones, ones, None, False)
-        ):
+        if sgm_fast:
             # fully fused fast path: NaN→super-cost, 8-path partials, then
             # one combine kernel doing Σ + WTA + vfit-triplet in VMEM —
             # the aggregated volume never reaches HBM
@@ -83,7 +100,16 @@ def stereo_pipeline(
                 and 3 * (window_size**2 + p2) <= 256
             )
             disp, vmask = _sgm_wta_pallas_path(
-                cv, type_measure, dmin, dmax, subpix, p1, p2, refinement, bf16_ok
+                cv,
+                type_measure,
+                dmin,
+                dmax,
+                subpix,
+                p1,
+                p2,
+                refinement,
+                bf16_ok,
+                presubstituted,
             )
             if median_size:
                 disp = median_filter_disparity(
@@ -126,13 +152,25 @@ _THRESH = 5.0e6
 
 
 def _sgm_wta_pallas_path(
-    cv, type_measure, dmin, dmax, subpix, p1, p2, refinement, bf16_partials=False
+    cv,
+    type_measure,
+    dmin,
+    dmax,
+    subpix,
+    p1,
+    p2,
+    refinement,
+    bf16_partials=False,
+    presubstituted=False,
 ):
     from .ops.refinement import refine_from_triplet
     from .ops.sgm_pallas import combine_wta_pallas, sgm_aggregate_partials_pallas
 
-    work = -cv if type_measure == "max" else cv
-    work = jnp.where(jnp.isnan(work), _SUPER, work)
+    if presubstituted:  # invalid entries already hold the super-cost sentinel
+        work = cv
+    else:
+        work = -cv if type_measure == "max" else cv
+        work = jnp.where(jnp.isnan(work), _SUPER, work)
     n_disp = cv.shape[2]
     out_dtype = jnp.bfloat16 if bf16_partials else jnp.float32
     partials, _ = sgm_aggregate_partials_pallas(

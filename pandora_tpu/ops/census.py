@@ -87,6 +87,7 @@ def census_cost_volume(
     subpix: int = 1,
     window_size: int = 5,
     unroll: bool = False,
+    invalid_value: float = float("nan"),
 ) -> jnp.ndarray:
     """Dense census cost volume (row, col, disp) float32, NaN where the
     reference never writes a cost (borders / right window out of image,
@@ -145,7 +146,11 @@ def census_cost_volume(
     valid &= jnp.where(i_shift > 0, right_x < w - hw - 1, True)
     rows_valid = (jnp.arange(h) >= hw) & (jnp.arange(h) < h - hw)
     mask = rows_valid[:, None, None] & valid[None, :, :]
-    return jnp.where(mask, cv, jnp.nan)
+    # invalid_value defaults to the reference's NaN; the fused SGM path
+    # passes its finite super-cost sentinel here instead, fusing the
+    # NaN→super substitution into this masking pass (one less HBM round
+    # trip over the volume)
+    return jnp.where(mask, cv, jnp.float32(invalid_value))
 
 
 def census_cmax(window_size: int) -> float:
