@@ -56,10 +56,7 @@ def refine(
 
     :return: (refined disparity, updated validity mask, interpolated_coeff)
     """
-    fit = _METHODS[method]
-    h, w, n_disp = cv.shape
-    inverse = -1.0 if type_measure == "max" else 1.0
-
+    n_disp = cv.shape[2]
     invalid = (validity_mask & cst.PANDORA_MSK_PIXEL_INVALID) != 0
     idx_f = (disp - d_min) * subpix
     idx = jnp.where(invalid, 0, idx_f.astype(jnp.int32))
