@@ -50,7 +50,11 @@ int decode_one(const uint8_t* raw, uint8_t* dst, const Chunk& c,
   zs.avail_out = static_cast<uInt>(c.dst_cap);
   int rc = inflate(&zs, Z_FINISH);
   inflateEnd(&zs);
-  return (rc == Z_STREAM_END || rc == Z_OK || rc == Z_BUF_ERROR) ? 0 : -2;
+  // Z_OK / Z_BUF_ERROR mean the stream was truncated or the output
+  // filled early — silent zero-fill, not success.  Only a completed
+  // stream counts; anything else must surface so the caller can fall
+  // back to the strict Python zlib path or fail loudly.
+  return rc == Z_STREAM_END ? 0 : -2;
 }
 
 }  // namespace

@@ -144,11 +144,16 @@ def stereo_pipeline(
 
 
 # super-cost sentinel for invalid CV entries on the fused Pallas path.
-# Valid aggregated totals are bounded by 8·(cmax + P2) — at most ~5e4 for
-# SAD's 255·w² — so THRESH cleanly separates any entry whose data term was
-# the sentinel (its total is ≥ SUPER since path messages are ≥ 0).
-_SUPER = 1.0e7
-_THRESH = 5.0e6
+# Valid aggregated totals are bounded by 8·(cmax + P2): census w²≤169 is
+# tiny, but SSD on 8-bit imagery reaches 255²·w² ≈ 1.6e6 per entry
+# (~1.3e7 over 8 paths), so the sentinel must sit far above any plausible
+# cost family.  1e12 keeps f32 math exact where it matters: sentinel
+# entries only ever meet valid ones through min()/>= comparisons, and
+# same-magnitude sentinel subtractions in the recurrence are exact
+# (Sterbenz).  THRESH separates as long as 8·(cmax + P2) < 5e11, i.e.
+# per-entry costs up to ~6e10 — any real imagery.
+_SUPER = 1.0e12
+_THRESH = 5.0e11
 
 
 def _sgm_wta_pallas_path(

@@ -103,9 +103,20 @@ def mc_cnn_cost_volume(
     n = n_layers_of(params)
     m = n  # margin = receptive radius
     # per-image zero-mean / unit-std normalization (Žbontar-2016 §3.3;
-    # training patches in scripts/train_mc_cnn.py see the same transform)
-    left = (left - jnp.mean(left)) / (jnp.std(left) + 1e-8)
-    right = (right - jnp.mean(right)) / (jnp.std(right) + 1e-8)
+    # training patches in scripts/train_mc_cnn.py see the same transform).
+    # Statistics are computed over real pixels only: the -9999 nodata fill
+    # written by read_image_input (and NaN) would otherwise skew the whole
+    # image's normalization and degrade the learned cost everywhere.
+    def _norm(img):
+        valid = jnp.isfinite(img) & (img != -9999.0)
+        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        safe = jnp.where(valid, img, 0.0)
+        mean = jnp.sum(safe) / n_valid
+        var = jnp.sum(jnp.where(valid, jnp.square(img - mean), 0.0)) / n_valid
+        return (img - mean) / (jnp.sqrt(var) + 1e-8)
+
+    left = _norm(left)
+    right = _norm(right)
     fl = features(params, left)  # (h', w', C)
     fr = features(params, right)
     hp, wp, c = fl.shape

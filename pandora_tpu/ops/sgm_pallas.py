@@ -156,7 +156,7 @@ def sgm_aggregate_partials_pallas(
     ``out_dtype=bfloat16`` halves the partials' HBM traffic and is EXACT
     when every L-value is an integer ≤ 256: integer P1/P2 and
     3·(cmax + P2) ≤ 256 (each directional L ≤ cmax + P2; row triples sum
-    three of them).  The 1e7 invalid sentinel survives bf16 rounding far
+    three of them).  The 1e12 invalid sentinel survives bf16 rounding far
     above the combine threshold."""
     h, w, d = cost.shape
     b = _BLOCK

@@ -51,6 +51,33 @@ class SceneRunner:
         self.row_halo = row_halo_width(cfg.get("window_size", 5), use_sgm, fm)
         os.makedirs(workdir, exist_ok=True)
         self._fn = None
+        self._check_meta()
+
+    def _check_meta(self) -> None:
+        """Tile checkpoints are only valid for the (cfg, tile_shape) they
+        were computed under; refuse to resume across a config change so
+        stale tiles are never silently stitched into a new run."""
+        meta = {
+            "tile_shape": [self.tile_rows, self.tile_cols],
+            "cfg": {k: repr(v) for k, v in sorted(self.cfg.items())},
+        }
+        path = os.path.join(self.workdir, "meta.json")
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                existing = json.load(f)
+            if existing != meta:
+                has_tiles = any(
+                    n.startswith("tile_") and n.endswith(".npz")
+                    for n in os.listdir(self.workdir)
+                )
+                if has_tiles:
+                    raise ValueError(
+                        f"checkpoint dir {self.workdir} holds tiles computed under a "
+                        "different cfg/tile_shape; clear it (or use a fresh workdir) "
+                        "before resuming with the new configuration"
+                    )
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
 
     # -- checkpoint bookkeeping ------------------------------------------
     def _tile_path(self, ti: int, tj: int) -> str:
@@ -114,12 +141,12 @@ class SceneRunner:
                 left, right = read_block(
                     rr0, cc0, min(ext_r, rows - rr0), min(ext_c, cols - cc0)
                 )
-                if left.shape != (ext_r, ext_c):  # scene smaller than a block
-                    buf_l = np.zeros((ext_r, ext_c), np.float32)
-                    buf_r = np.zeros((ext_r, ext_c), np.float32)
-                    buf_l[: left.shape[0], : left.shape[1]] = left
-                    buf_r[: right.shape[0], : right.shape[1]] = right
-                    left, right = buf_l, buf_r
+                # A scene smaller than the extended block in some dimension
+                # is run at its true extent (the deficient dimension is the
+                # same for every tile, so shapes stay uniform and one XLA
+                # compilation still serves the whole grid).  Zero-padding
+                # instead would move the real scene border into the block
+                # interior and let census read fabricated pixels.
                 disp, vmask = fn(left, right)
                 pr, pc = r0 - rr0, c0 - cc0
                 disp = np.asarray(disp)[pr : pr + nr, pc : pc + nc]

@@ -62,6 +62,53 @@ def test_scene_runner_matches_untiled_and_resumes(tmp_path):
     np.testing.assert_allclose(both2, 0.0, atol=0.0)
 
 
+def test_scene_smaller_than_block_matches_untiled(tmp_path):
+    """A scene smaller than tile + 2*halo must NOT be zero-padded: padding
+    would move the true scene border into the block interior and census
+    would read fabricated pixels (ADVICE r1, medium)."""
+    rows, cols = 24, 40  # well under tile_shape + halos
+    left, right = _scene(rows, cols, seed=9)
+
+    def read_block(r0, c0, nr, nc):
+        return left[r0 : r0 + nr, c0 : c0 + nc], right[r0 : r0 + nr, c0 : c0 + nc]
+
+    runner = SceneRunner(str(tmp_path), tile_shape=(32, 64), **CFG)
+    runner.run(read_block, rows, cols)
+    disp, vmask = runner.stitch(rows, cols)
+    fn = make_jitted_pipeline(**CFG)
+    du, vu = map(np.asarray, fn(left, right))
+    both = np.where(np.isnan(disp) & np.isnan(du), 0.0, disp - du)
+    np.testing.assert_allclose(both, 0.0, atol=0.0)
+    np.testing.assert_array_equal(vmask, vu)
+
+
+def test_checkpoint_meta_guards_config_change(tmp_path):
+    """Resuming with a different cfg/tile_shape over existing tiles must
+    refuse instead of silently stitching stale results (ADVICE r1, low)."""
+    import pytest
+
+    rows, cols = 64, 128
+    left, right = _scene(rows, cols)
+
+    def read_block(r0, c0, nr, nc):
+        return left[r0 : r0 + nr, c0 : c0 + nc], right[r0 : r0 + nr, c0 : c0 + nc]
+
+    runner = SceneRunner(str(tmp_path), tile_shape=(32, 64), **CFG)
+    runner.run(read_block, rows, cols)
+    # same config resumes fine
+    SceneRunner(str(tmp_path), tile_shape=(32, 64), **CFG)
+    # changed tile shape or cfg refuses while tiles exist
+    with pytest.raises(ValueError, match="different cfg"):
+        SceneRunner(str(tmp_path), tile_shape=(16, 64), **CFG)
+    with pytest.raises(ValueError, match="different cfg"):
+        SceneRunner(str(tmp_path), tile_shape=(32, 64), **{**CFG, "window_size": 7})
+    # an empty workdir with a stale meta is reusable
+    for name in os.listdir(tmp_path):
+        if name.startswith("tile_"):
+            os.remove(os.path.join(tmp_path, name))
+    SceneRunner(str(tmp_path), tile_shape=(16, 64), **CFG)
+
+
 def test_scene_runner_fault_isolation(tmp_path):
     rows, cols = 64, 128
     left, right = _scene(rows, cols)

@@ -97,6 +97,32 @@ def test_combine_wta_matches_separate_epilogue():
         )
 
 
+def test_production_sentinel_separates_ssd_scale_costs():
+    """SSD on 8-bit imagery yields data costs up to 255²·w² ≈ 1.6e6; the
+    production sentinel/threshold must still classify valid pixels as
+    valid (regression: the old 1e7/5e6 pair misflagged them)."""
+    from pandora_tpu.fused import _SUPER, _THRESH
+    from pandora_tpu.ops.sgm_pallas import (
+        combine_wta_pallas,
+        sgm_aggregate_partials_pallas,
+    )
+
+    h, w, d = 9, 17, 5
+    # valid costs at SSD-cmax scale so 8-path totals exceed the OLD 5e6
+    cost = (RNG.random((h, w, d)) * 1.63e6).astype(np.float32)
+    nan_mask = RNG.random((h, w, d)) < 0.1
+    nan_mask[2, 3, :] = True  # one genuinely all-invalid pixel
+    cv = np.where(nan_mask, np.nan, cost).astype(np.float32)
+
+    work = jnp.where(jnp.isnan(jnp.asarray(cv)), _SUPER, jnp.asarray(cv))
+    partials, _ = sgm_aggregate_partials_pallas(work, 8.0, 32.0, interpret=True)
+    idx, c0, c1, c2 = combine_wta_pallas(partials, (h, w), d, _THRESH, interpret=True)
+
+    got_invalid = np.isnan(np.asarray(c1))
+    want_invalid = nan_mask.all(axis=2)
+    np.testing.assert_array_equal(got_invalid, want_invalid)
+
+
 def test_bf16_partials_bit_exact_for_integer_costs():
     """bf16 partial volumes are bit-exact when costs and penalties are
     integers with 3*(cmax+P2) <= 256 (the census-5x5 + P2=32 regime)."""
