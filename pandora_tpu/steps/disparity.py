@@ -13,9 +13,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..datamodel import CostVolume, DisparityMap
+from ..datamodel import CostVolume, DisparityMap, Image
 from ..ops import cost_volume as cv_ops
-from ..ops.wta import wta
+from ..ops.wta import approximate_right_disparity, mask_border_disparity, wta
 from ..utils.schema import And, Or, validate
 from .base import PipelineState, Step
 
@@ -52,6 +52,45 @@ class WinnerTakesAll(Step):
             invalid_disparity=None if np.isnan(invalid) else invalid,
             transform=transform,
             crs=crs,
+        )
+
+    def approximate_right_disparity(self, cv: CostVolume, img_right: Image) -> DisparityMap:
+        """Right disparity map by diagonal search in the left cost volume
+        (Ernst–Hirschmüller; reference disparity/disparity.py:165-298):
+        ops.wta.approximate_right_disparity plus the reference's intensity-std
+        confidence band and border masking."""
+        from ..ops.windows import box_std_same
+
+        invalid = float(self.cfg["invalid_disparity"])
+        disp, vmask = _approx_right_jit(
+            cv.cv,
+            int(cv.disp_range[0]),
+            int(cv.disp_range[-1]),
+            cv.subpixel,
+            cv.type_measure,
+            jnp.float32(invalid),
+        )
+        offset = cv.offset_row_col
+        if offset > 0:
+            vmask = mask_border_disparity(vmask, offset)
+        # confidence = window intensity std of the right image, interior only
+        band = img_right.band(cv.band_correl)
+        std = box_std_same(band, cv.window_size, cv.window_size)
+        h, w = band.shape
+        row = jnp.arange(h)[:, None]
+        col = jnp.arange(w)[None, :]
+        interior = (
+            (row >= offset) & (row < h - offset) & (col >= offset) & (col < w - offset)
+        )
+        std = jnp.where(interior, std, jnp.nan)
+        return DisparityMap(
+            disparity_map=disp,
+            validity_mask=vmask,
+            confidence=std[:, :, None].astype(jnp.float32),
+            indicator_names=("confidence_from_intensity_std",),
+            invalid_disparity=None if np.isnan(invalid) else invalid,
+            transform=img_right.transform,
+            crs=img_right.crs,
         )
 
     def run(self, state: PipelineState) -> None:
@@ -97,3 +136,8 @@ class WinnerTakesAll(Step):
 @jax.jit
 def _reverse_jit(cv, dmin):
     return cv_ops.reverse_cost_volume(cv, dmin)
+
+
+@partial(jax.jit, static_argnames=("dmin", "dmax", "subpix", "type_measure"))
+def _approx_right_jit(cv, dmin, dmax, subpix, type_measure, invalid_value):
+    return approximate_right_disparity(cv, dmin, dmax, subpix, type_measure, invalid_value)

@@ -68,6 +68,16 @@ class SgmBase(Step):
     def _segments(self, img, shape) -> Optional[jnp.ndarray]:
         source = self.cfg["geometric_prior"]["source"]
         if source == "internal" or self.method == "sgm":
+            if self.method == "3sgm" and source == "internal":
+                # the reference plugin computes no internal segmentation
+                # either; make the degradation loud instead of silent
+                import logging
+
+                logging.warning(
+                    "3sgm geometric_prior 'internal': no segmentation source, "
+                    "running plain SGM (add a semantic_segmentation step or "
+                    "use source classif/segm/edges for piecewise optimization)"
+                )
             return None
         if source == "segm":
             if img.segm is None:
@@ -105,7 +115,18 @@ class SgmBase(Step):
             names = list(cv.indicator_names)
             if wanted in names:
                 return cv.confidence[:, :, names.index(wanted)]
-        # plugin falls back to all-ones when ambiguity is absent
+        # the plugin falls back to an all-ones weighting when ambiguity is
+        # absent — make the fallback loud so a typo'd indicator is noticed
+        import logging
+
+        logging.warning(
+            "use_confidence=%r: no %r band on the cost volume "
+            "(available: %s) — SGM runs UNWEIGHTED; add a "
+            "cost_volume_confidence ambiguity step before optimization",
+            key,
+            "confidence_from_ambiguity" + ("." + key.split(".")[1] if "." in key else ""),
+            list(cv.indicator_names) if cv.confidence is not None else "none",
+        )
         return None
 
     def _apply(self, state: PipelineState, cv, img_left, img_right, dmin, dmax) -> None:
