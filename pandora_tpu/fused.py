@@ -53,11 +53,10 @@ def stereo_pipeline(
     if optimization == "sgm":
         from .ops.sgm_pallas import pallas_supported
 
-        ones = jnp.ones((8, 1, 1), jnp.float32)
         sgm_fast = (
             sgm_fused_epilogue
             and sgm_ops.default_use_pallas()
-            and pallas_supported((*left.shape, n_disp), ones, ones, None, False)
+            and pallas_supported((*left.shape, n_disp), None, None, None, False)
         )
 
     if matching_cost == "census":
@@ -169,19 +168,16 @@ def _sgm_wta_pallas_path(
     presubstituted=False,
 ):
     from .ops.refinement import refine_from_triplet
-    from .ops.sgm_pallas import combine_wta_pallas, sgm_aggregate_partials_pallas
+    from .ops.sgm_pallas import combine_wta_pallas, sgm_partials_pallas
 
     if presubstituted:  # invalid entries already hold the super-cost sentinel
         work = cv
     else:
         work = -cv if type_measure == "max" else cv
         work = jnp.where(jnp.isnan(work), _SUPER, work)
-    n_disp = cv.shape[2]
     out_dtype = jnp.bfloat16 if bf16_partials else jnp.float32
-    partials, _ = sgm_aggregate_partials_pallas(
-        work, float(p1), float(p2), out_dtype=out_dtype
-    )
-    idx, c0, c1, c2 = combine_wta_pallas(partials, cv.shape[:2], n_disp, _THRESH)
+    parts = sgm_partials_pallas(work, float(p1), float(p2), out_dtype=out_dtype)
+    idx, c0, c1, c2 = combine_wta_pallas(parts, _THRESH)
 
     disp = jnp.float32(dmin) + idx.astype(jnp.float32) / jnp.float32(subpix)
     invalid_mc = jnp.isnan(c1)  # every disparity invalid (wta all-NaN rule)

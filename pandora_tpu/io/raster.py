@@ -202,6 +202,45 @@ def _gdal_band_names(xml: Optional[str], n_bands: int) -> Optional[Tuple[str, ..
     return tuple(names.get(i, f"band_{i}") for i in range(n_bands))
 
 
+def read_raster_header(path: str) -> Dict[str, object]:
+    """Header-only raster metadata — no pixel decode (the reference's
+    rasterio_open header usage, check_configuration.py:170-205 and
+    img_tools.get_metadata, img_tools.py:440-476).
+
+    :return: dict(width, height, count, band_names, transform, crs, nodata)
+    """
+    img = PILImage.open(path)  # lazy: PIL decodes pixels only on access
+    width, height = img.size
+    count = getattr(img, "n_frames", 1)
+    if count == 1 and img.mode in ("RGB", "RGBA", "YCbCr"):
+        count = len(img.mode)
+    tags = getattr(img, "tag_v2", None)
+    transform = crs = nodata = band_names = None
+    if tags is not None:
+        tag_dict = dict(tags)
+        transform = _tags_geo_transform(tag_dict)
+        if _T_GEOASCIIPARAMS in tag_dict:
+            crs = str(tag_dict[_T_GEOASCIIPARAMS])
+        if _T_GDAL_NODATA in tag_dict:
+            try:
+                nodata = float(str(tag_dict[_T_GDAL_NODATA]).strip("\x00 "))
+            except ValueError:
+                nodata = None
+        if _T_SAMPLESPERPIXEL in tag_dict:
+            count = max(count, int(tag_dict[_T_SAMPLESPERPIXEL]))
+        band_names = _gdal_band_names(tag_dict.get(_T_GDAL_METADATA), count)
+    img.close()
+    return {
+        "width": int(width),
+        "height": int(height),
+        "count": int(count),
+        "band_names": band_names,
+        "transform": transform,
+        "crs": crs,
+        "nodata": nodata,
+    }
+
+
 def read_raster(path: str, window: Optional[Tuple[int, int, int, int]] = None):
     """Read a raster as ``(bands, rows, cols)`` float32 plus geo metadata.
 

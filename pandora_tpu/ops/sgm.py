@@ -397,16 +397,31 @@ def sgm_optimize_volume(
 
     nb_dirs = None
     pallas_done = False
-    if use_pallas and p1_const is not None:
+    if use_pallas:
         from .sgm_pallas import pallas_supported, sgm_aggregate_pallas
 
-        if pallas_supported(work.shape, p1_planes, p2_planes, segments, min_cost_paths):
-            p2p = p2_planes if (p2_planes.ndim == 3 and p2_planes.shape[1] > 1) else None
-            total = sgm_aggregate_pallas(
+        # kernel penalty form: closure scalar when a constant is known,
+        # otherwise the (8, H, W) / (8, H, W, D) planes; per-direction
+        # CONSTANT planes without a scalar cannot ride the kernel closure
+        p1_arg = None if p1_const is not None else p1_planes
+        p2_arg = None if p2_const is not None else p2_planes
+
+        def _kernel_ok(arg):
+            return arg is None or arg.ndim == 4 or arg.shape[1:3] != (1, 1)
+
+        if (
+            _kernel_ok(p1_arg)
+            and _kernel_ok(p2_arg)
+            and pallas_supported(work.shape, p1_arg, p2_arg, segments, min_cost_paths)
+        ):
+            total, nb_dirs = sgm_aggregate_pallas(
                 work,
-                p1_const,
+                p1_const if p1_const is not None else 0.0,
                 p2_const if p2_const is not None else 0.0,
-                p2_planes=p2p,
+                p1_planes=p1_arg,
+                p2_planes=p2_arg,
+                segments=segments,
+                min_cost_paths=min_cost_paths,
             )
             if overcounting:
                 total = total - 7.0 * work

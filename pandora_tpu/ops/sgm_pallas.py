@@ -3,32 +3,40 @@
 The lax.scan formulation (ops/sgm.py) is correct everywhere but leaves the
 VPU idle: each scan step moves ~1 MB and computes ~6 M flops, so XLA's
 while-loop overhead dominates.  These kernels exploit the TPU grid's
-*sequential* execution with automatic double-buffered DMA pipelining:
+*sequential* execution with automatic double-buffered DMA pipelining, and
+lay the volume out so the vector unit runs on FULL (8, 128) registers:
 
-* row pass: grid over groups of ``_BLOCK`` rows; each grid step advances
-  the recurrence ``_BLOCK`` rows for all 6 vertical/diagonal directions at
-  once (static in-kernel sub-loop), with the directional L-values carried
-  across grid steps in a VMEM scratch.  The 3 up-going directions run on
-  the row-flipped volume WITHOUT materializing a flip — their BlockSpec
-  index maps address block ``G-1-g`` and the sub-loop walks those rows in
-  reverse;
+* row pass: the volume is consumed in ``(row, disp, col)`` ("DW") layout —
+  col on the 128-wide lane axis (full occupancy even for D=64, which in
+  the (col, disp) layout wasted half the lanes), disp on sublanes, so the
+  disparity-neighbor mins are cheap sublane shifts and the path minimum is
+  a sublane reduction.  The grid advances groups of ``_BLOCK`` rows for
+  all 6 vertical/diagonal directions at once, with the directional
+  L-values carried across grid steps in a VMEM scratch.  The 3 up-going
+  directions run on the row-flipped volume WITHOUT materializing a flip —
+  their BlockSpec index maps address block ``G-1-g``;
 * col pass: the same structure over groups of ``_BLOCK`` columns for the
-  2 horizontal directions — no transposed copy of the volume is needed;
-* in-row neighbor shifts are sublane shifts on (W, D) tiles with D on the
-  lane axis; disparity-neighbor mins are lane shifts;
+  2 horizontal directions in the natural (row, col, disp) layout (the
+  recurrence walks the col axis, so per-step tiles are (row, disp));
 * image borders and the block-size padding share one mechanism: padded
-  cells hold a finite ``_BIG`` cost, so their L-values stay ≥ _BIG and
-  the "no valid predecessor ⇒ restart" test handles both.
+  cells hold a finite ``_BIG`` cost, so their L-values stay >= _BIG and
+  float absorption (_BIG + P == _BIG exactly in f32 for any real penalty)
+  makes the restart message 0 without an explicit validity test;
+* a fused finish kernel sums row partials + the (XLA-transposed) col
+  partial sum and performs WTA + the vfit cost-triplet extraction with
+  sublane reductions — the aggregated volume never reaches HBM.
 
-Constant or per-direction-per-pixel P2 penalties are supported (the
-mc_cnn per-disparity penalties, 3SGM segments and min_cost_paths tracking
-fall back to the lax implementation).
+Full configuration coverage (plugin_libsgm.rst:95-330): constant P1/P2,
+per-direction-per-pixel P1/P2 (negativeGradient / inverseGradient,
+Banz-2012), per-(direction, pixel, disparity) P1/P2 (mc_cnn_fast_penalty,
+Zbontar-2016), 3SGM segment restarts and min_cost_paths direction-argmin
+tracking.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,293 +46,523 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1.0e30  # finite "no predecessor" sentinel (inf breaks min/NaN rules)
 _BLOCK = 8  # rows (cols) advanced per grid step
 
+# penalty modes
+_P_SCALAR = 0  # python-float closure constant
+_P_PIXEL = 1  # (H, ch, W) rows — one penalty row per pixel per direction
+_P_DISP = 2  # (H, ch, D, W) — per (pixel, disparity) (mc_cnn_fast)
 
-def _msg(prev, p1, p2):
-    """SGM message with reset where there is no valid predecessor.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=int(100 * 1024 * 1024))
 
-    prev: (W, D); p1/p2 scalars or (W, 1).  The message is ≥ 0, so padded
-    (_BIG) L-values stay ≥ _BIG and the `< _BIG/2` test marks restarts."""
+
+def _msg_dw(prev, p1, p2):
+    """SGM message on a (D, W) tile: min(prev, prev_{d+-1}+P1,
+    min_d prev + P2) - min_d prev.
+
+    Restart-at-border needs no explicit test: padded predecessors hold
+    _BIG in every lane, so min_prev == _BIG and f32 absorption gives
+    msg == _BIG - _BIG == 0 exactly."""
+    big_row = jnp.full_like(prev[:1], _BIG)
+    d_down = jnp.concatenate([big_row, prev[:-1]], axis=0)
+    d_up = jnp.concatenate([prev[1:], big_row], axis=0)
+    min_prev = jnp.min(prev, axis=0, keepdims=True)  # (1, W)
+    m = jnp.minimum(prev, jnp.minimum(d_down, d_up) + p1)
+    return jnp.minimum(m, min_prev + p2) - min_prev
+
+
+def _shift_lane(a, dc):
+    """Shift along the col (lane) axis: out[..., c] = a[..., c - dc]."""
+    if dc == 0:
+        return a
+    big = jnp.full_like(a[..., :1], _BIG)
+    if dc > 0:
+        return jnp.concatenate([big, a[..., :-1]], axis=-1)
+    return jnp.concatenate([a[..., 1:], big], axis=-1)
+
+
+def _shift_lane_i32(a, dc, fill=-1):
+    if dc == 0:
+        return a
+    pad = jnp.full_like(a[..., :1], fill)
+    if dc > 0:
+        return jnp.concatenate([pad, a[..., :-1]], axis=-1)
+    return jnp.concatenate([a[..., 1:], pad], axis=-1)
+
+
+def _sub_argmin(l, d_pad):
+    """First-occurrence argmin over the sublane (disp) axis → (1, W) i32."""
+    m = jnp.min(l, axis=0, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, l.shape, 0)
+    return jnp.min(jnp.where(l == m, iota, d_pad), axis=0, keepdims=True)
+
+
+def _row_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, *refs):
+    """Grid step: advance the 6 vertical/diagonal directions _BLOCK rows.
+
+    DW layout: cost_n/cost_f are (B, D, W); carry is (6, D, W)."""
+    it = iter(refs)
+    cost_n_ref = next(it)
+    cost_f_ref = next(it)
+    p1_ref = next(it) if p1_mode != _P_SCALAR else None
+    p2_ref = next(it) if p2_mode != _P_SCALAR else None
+    seg_ref = next(it) if has_seg else None
+    out_n_ref = next(it)
+    out_f_ref = next(it)
+    amin_n_ref = next(it) if track else None
+    amin_f_ref = next(it) if track else None
+    carry_ref = next(it)
+    segc_ref = next(it) if has_seg else None
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        carry_ref[...] = jnp.full_like(carry_ref, _BIG)
+        if segc_ref is not None:
+            segc_ref[...] = jnp.full_like(segc_ref, -1)
+
+    shifts = (0, 1, -1)
+    prev = [carry_ref[ch] for ch in range(6)]
+    prev_seg = [segc_ref[grp] for grp in range(2)] if has_seg else None
+    b, d_pad = cost_n_ref.shape[0], cost_n_ref.shape[1]
+    for j in range(b):
+        cost_n = cost_n_ref[j].astype(jnp.float32)  # row g*B + j, (D, W)
+        cost_f = cost_f_ref[b - 1 - j].astype(jnp.float32)  # flipped row
+        if has_seg:
+            seg_n = seg_ref[j, 0]  # (W,) int32
+            seg_f = seg_ref[j, 1]
+        l_new, am_n, am_f = [], [], []
+        for ch in range(6):
+            grp = 0 if ch < 3 else 1
+            dc = shifts[ch % 3]
+            cost = cost_n if ch < 3 else cost_f
+            pv = _shift_lane(prev[ch], dc)
+            if p1_mode == _P_SCALAR:
+                p1c = p1
+            elif p1_mode == _P_PIXEL:
+                p1c = p1_ref[j, ch][None, :]
+            else:
+                p1c = p1_ref[j, ch]
+            if p2_mode == _P_SCALAR:
+                p2c = p2
+            elif p2_mode == _P_PIXEL:
+                p2c = p2_ref[j, ch][None, :]
+            else:
+                p2c = p2_ref[j, ch]
+            msg = _msg_dw(pv, p1c, p2c)
+            if has_seg:
+                cur = seg_n if grp == 0 else seg_f
+                ps = _shift_lane_i32(prev_seg[grp], dc)
+                msg = msg * (ps == cur)[None, :].astype(jnp.float32)
+            l = cost + msg
+            l_new.append(l)
+            if track:
+                (am_n if ch < 3 else am_f).append(_sub_argmin(l, d_pad))
+        prev = l_new
+        if has_seg:
+            prev_seg = [seg_n, seg_f]
+        # cast on write: callers may request bf16 partials (exact when every
+        # L is an integer <= 256 — see sgm_partials_pallas)
+        out_n_ref[j] = (l_new[0] + l_new[1] + l_new[2]).astype(out_n_ref.dtype)
+        out_f_ref[b - 1 - j] = (l_new[3] + l_new[4] + l_new[5]).astype(out_f_ref.dtype)
+        if track:
+            amin_n_ref[j] = jnp.concatenate(am_n, axis=0)
+            amin_f_ref[b - 1 - j] = jnp.concatenate(am_f, axis=0)
+    for ch in range(6):
+        carry_ref[ch] = prev[ch]
+    if has_seg:
+        for grp in range(2):
+            segc_ref[grp] = prev_seg[grp]
+
+
+def _msg_hd(prev, p1, p2):
+    """SGM message on an (H, D) tile (disp on lanes)."""
     big_lane = jnp.full_like(prev[:, :1], _BIG)
     d_down = jnp.concatenate([big_lane, prev[:, :-1]], axis=1)
     d_up = jnp.concatenate([prev[:, 1:], big_lane], axis=1)
     min_prev = jnp.min(prev, axis=1, keepdims=True)
     m = jnp.minimum(prev, jnp.minimum(d_down, d_up) + p1)
-    m = jnp.minimum(m, min_prev + p2) - min_prev
-    valid = (prev[:, :1] < _BIG * 0.5).astype(jnp.float32)
-    return m * valid
+    return jnp.minimum(m, min_prev + p2) - min_prev
 
 
-def _shift_w(a, dc):
-    """Shift a (W, D) tile along W: out[w] = a[w - dc], _BIG outside."""
-    if dc == 0:
-        return a
-    big = jnp.full_like(a[:1], _BIG)
-    if dc > 0:
-        return jnp.concatenate([big, a[:-1]], axis=0)
-    return jnp.concatenate([a[1:], big], axis=0)
-
-
-def _row_kernel(p1, p2, *refs):
-    """Grid step: advance the 6 vertical/diagonal directions _BLOCK rows.
-
-    refs: cost_n (B, W, D), cost_f (B, W, D), [p2 (B, 6, W)],
-    out_n (B, W, D), out_f (B, W, D), carry (6, W, D)."""
-    if p2 is None:
-        cost_n_ref, cost_f_ref, p2_ref, out_n_ref, out_f_ref, carry_ref = refs
-    else:
-        cost_n_ref, cost_f_ref, out_n_ref, out_f_ref, carry_ref = refs
-        p2_ref = None
-    g = pl.program_id(0)
-
-    @pl.when(g == 0)
-    def _():
-        carry_ref[...] = jnp.full_like(carry_ref, _BIG)
-
-    shifts = (0, 1, -1)
-    prev = carry_ref[...]  # (6, W, D)
-    b = cost_n_ref.shape[0]
-    for j in range(b):
-        cost_n = cost_n_ref[j]  # row g*B + j
-        cost_f = cost_f_ref[b - 1 - j]  # flipped row g*B + j
-        l_all = []
-        for ch in range(6):
-            cost = cost_n if ch < 3 else cost_f
-            pv = _shift_w(prev[ch], shifts[ch % 3])
-            p2c = p2 if p2_ref is None else p2_ref[j, ch][:, None]
-            l_all.append(cost + _msg(pv, p1, p2c))
-        prev = jnp.stack(l_all)
-        # cast on write: callers may request bf16 partials (exact when every
-        # L is an integer <= 256 — see sgm_aggregate_partials_pallas)
-        out_n_ref[j] = (l_all[0] + l_all[1] + l_all[2]).astype(out_n_ref.dtype)
-        out_f_ref[b - 1 - j] = (l_all[3] + l_all[4] + l_all[5]).astype(out_f_ref.dtype)
-    carry_ref[...] = prev
-
-
-def _col_kernel(p1, p2, *refs):
+def _col_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, *refs):
     """Grid step: advance the 2 horizontal directions _BLOCK columns.
 
-    refs: cost_n (H, B, D), cost_f (H, B, D), [p2 (B, 2, H)],
-    out_n (H, B, D), out_f (H, B, D), carry (2, H, D)."""
-    if p2 is None:
-        cost_n_ref, cost_f_ref, p2_ref, out_n_ref, out_f_ref, carry_ref = refs
-    else:
-        cost_n_ref, cost_f_ref, out_n_ref, out_f_ref, carry_ref = refs
-        p2_ref = None
+    HWD layout: cost_n/cost_f are (H, B, D); carry is (2, H, D)."""
+    it = iter(refs)
+    cost_n_ref = next(it)
+    cost_f_ref = next(it)
+    p1_ref = next(it) if p1_mode != _P_SCALAR else None
+    p2_ref = next(it) if p2_mode != _P_SCALAR else None
+    seg_ref = next(it) if has_seg else None
+    out_n_ref = next(it)
+    out_f_ref = next(it)
+    amin_ref = next(it) if track else None
+    carry_ref = next(it)
+    segc_ref = next(it) if has_seg else None
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
         carry_ref[...] = jnp.full_like(carry_ref, _BIG)
+        if segc_ref is not None:
+            segc_ref[...] = jnp.full_like(segc_ref, -1)
 
-    prev = carry_ref[...]  # (2, H, D)
-    b = cost_n_ref.shape[1]
+    prev = [carry_ref[ch] for ch in range(2)]
+    prev_seg = [segc_ref[grp] for grp in range(2)] if has_seg else None
+    b, d_pad = cost_n_ref.shape[1], cost_n_ref.shape[2]
     for j in range(b):
-        cost_n = cost_n_ref[:, j]  # col g*B + j, (H, D)
-        cost_f = cost_f_ref[:, b - 1 - j]  # flipped col g*B + j
-        l_all = []
+        cost2 = (cost_n_ref[:, j], cost_f_ref[:, b - 1 - j])  # (H, D) each
+        l_new, ams = [], []
         for ch in range(2):
-            cost = cost_n if ch == 0 else cost_f
-            p2c = p2 if p2_ref is None else p2_ref[j, ch][:, None]
-            l_all.append(cost + _msg(prev[ch], p1, p2c))
-        prev = jnp.stack(l_all)
-        out_n_ref[:, j] = l_all[0].astype(out_n_ref.dtype)
-        out_f_ref[:, b - 1 - j] = l_all[1].astype(out_f_ref.dtype)
-    carry_ref[...] = prev
+            if p1_mode == _P_SCALAR:
+                p1c = p1
+            elif p1_mode == _P_PIXEL:
+                p1c = p1_ref[j, ch][:, None]
+            else:
+                p1c = p1_ref[j, ch]
+            if p2_mode == _P_SCALAR:
+                p2c = p2
+            elif p2_mode == _P_PIXEL:
+                p2c = p2_ref[j, ch][:, None]
+            else:
+                p2c = p2_ref[j, ch]
+            msg = _msg_hd(prev[ch], p1c, p2c)
+            if has_seg:
+                cur = seg_ref[j, ch]  # (H,)
+                msg = msg * (prev_seg[ch] == cur)[:, None].astype(jnp.float32)
+            l = cost2[ch].astype(jnp.float32) + msg
+            l_new.append(l)
+            if track:
+                m = jnp.min(l, axis=1, keepdims=True)
+                iota = jax.lax.broadcasted_iota(jnp.int32, l.shape, 1)
+                ams.append(jnp.min(jnp.where(l == m, iota, d_pad), axis=1)[None, :])
+        prev = l_new
+        if has_seg:
+            prev_seg = [seg_ref[j, 0], seg_ref[j, 1]]
+        out_n_ref[:, j] = l_new[0].astype(out_n_ref.dtype)
+        out_f_ref[:, b - 1 - j] = l_new[1].astype(out_f_ref.dtype)
+        if track:
+            amin_ref[j] = jnp.concatenate(ams, axis=0)
+    for ch in range(2):
+        carry_ref[ch] = prev[ch]
+    if has_seg:
+        for grp in range(2):
+            segc_ref[grp] = prev_seg[grp]
 
 
-def _pad_to(a: jnp.ndarray, h8: int, w8: int, value: float) -> jnp.ndarray:
-    h, w = a.shape[0], a.shape[1]
-    if h8 == h and w8 == w:
+def _pad_nd(a: jnp.ndarray, target: Tuple[int, ...], value) -> jnp.ndarray:
+    pads = [(0, t - s) for s, t in zip(a.shape, target)]
+    if not any(p[1] for p in pads):
         return a
-    pads = [(0, h8 - h), (0, w8 - w)] + [(0, 0)] * (a.ndim - 2)
     return jnp.pad(a, pads, constant_values=value)
 
 
-def sgm_aggregate_partials_pallas(
+class SgmPartials(NamedTuple):
+    """8-path directional sums, normal image orientation.
+
+    row_n/row_f: (H8, D8, W8) DW layout (down-going / up-going triples);
+    col_n/col_f: (H8, W8, D8) HWD layout (left->right / right->left);
+    amins_row: (H8, 6, W8) i32 per-direction argmins or None;
+    amins_col: (W8, 2, H8) i32 or None; hwd: the unpadded (h, w, d)."""
+
+    row_n: jnp.ndarray
+    row_f: jnp.ndarray
+    col_n: jnp.ndarray
+    col_f: jnp.ndarray
+    amins_row: Optional[jnp.ndarray]
+    amins_col: Optional[jnp.ndarray]
+    hwd: Tuple[int, int, int]
+
+
+def _prep_planes_rows(planes, h8, w8, flip_rows):
+    """(8,H,W)->(H8, 6|2, W8) f32, channels listed by flip_rows pre-flipped
+    along rows AFTER padding (the flipped cost refs walk the padded flip)."""
+    chans = []
+    for i, (ch, flip) in enumerate(flip_rows):
+        p = _pad_nd(planes[ch].astype(jnp.float32), (h8, w8), 0.0)
+        chans.append(p[::-1] if flip else p)
+    return jnp.stack(chans, axis=1)  # (H8, k, W8)
+
+
+def sgm_partials_pallas(
     cost: jnp.ndarray,
     p1: float,
     p2: float,
+    p1_planes: Optional[jnp.ndarray] = None,
     p2_planes: Optional[jnp.ndarray] = None,
-    interpret: bool = False,
+    segments: Optional[jnp.ndarray] = None,
+    min_cost_paths: bool = False,
     out_dtype: jnp.dtype = jnp.float32,
-):
-    """The 8 directional path costs as 4 partial (h8, w8, d) volumes
-    (row-pass down/up triples, col-pass left/right) plus the padded shape —
-    callers either sum them (sgm_aggregate_pallas) or feed them to the
-    fused combine+WTA kernel without materializing the total.
+    interpret: bool = False,
+) -> SgmPartials:
+    """The 8 directional path costs as 4 partial volumes.
+
+    ``cost`` is (H, W, D), finite (caller replaces NaN with a super-cost).
+    ``p1_planes``/``p2_planes``: None (use the scalar), (8, H, W) per-pixel,
+    or (8, H, W, D) per-(pixel, disparity), direction order ops.sgm.ALL_DIRS.
+    ``segments``: optional (H, W) int32 — 3SGM piecewise restarts.
+    ``min_cost_paths``: also return per-direction argmins.
 
     ``out_dtype=bfloat16`` halves the partials' HBM traffic and is EXACT
-    when every L-value is an integer ≤ 256: integer P1/P2 and
-    3·(cmax + P2) ≤ 256 (each directional L ≤ cmax + P2; row triples sum
+    when every L-value is an integer <= 256: integer P1/P2 and
+    3*(cmax + P2) <= 256 (each directional L <= cmax + P2; row triples sum
     three of them).  The 1e12 invalid sentinel survives bf16 rounding far
     above the combine threshold."""
     h, w, d = cost.shape
     b = _BLOCK
     h8 = -(-h // b) * b
-    w8 = -(-w // b) * b
+    w8 = -(-w // 128) * 128
+    d8 = -(-d // 16) * 16
     gr, gc = h8 // b, w8 // b
-    cpad = _pad_to(cost, h8, w8, _BIG)
-    params = pltpu.CompilerParams(vmem_limit_bytes=int(100 * 1024 * 1024))
-    out_sds = (
-        jax.ShapeDtypeStruct((h8, w8, d), out_dtype),
-        jax.ShapeDtypeStruct((h8, w8, d), out_dtype),
-    )
 
-    # ---- row pass: 6 channels ------------------------------------------
-    n_spec = pl.BlockSpec((b, w8, d), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((b, w8, d), lambda g: (gr - 1 - g, 0, 0), memory_space=pltpu.VMEM)
-    if p2_planes is None:
-        kernel = partial(_row_kernel, p1, p2)
-        in_specs = [n_spec, f_spec]
-        args = (cpad, cpad)
-    else:
-        # (H8, 6, W8) rows of per-channel P2.  Pad FIRST, then mirror the
-        # flipped channels' planes: the cost refs walk the flip of the
-        # PADDED volume, so flipped sub-step t reads padded row H8-1-t.
-        pl8 = _pad_to(jnp.moveaxis(p2_planes.astype(jnp.float32), 0, -1), h8, w8, 0.0)
-        pl8 = jnp.moveaxis(pl8, -1, 0)  # (8, H8, W8)
-        p2_rows = jnp.stack(
-            [pl8[0], pl8[1], pl8[2], pl8[3][::-1], pl8[4][::-1], pl8[5][::-1]]
-        )  # (6, H8, W8)
-        p2_rows = jnp.moveaxis(p2_rows, 0, 1)  # (H8, 6, W8)
-        kernel = partial(_row_kernel, p1, None)
-        p2_spec = pl.BlockSpec((b, 6, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-        in_specs = [n_spec, f_spec, p2_spec]
-        args = (cpad, cpad, p2_rows)
+    def mode_of(planes):
+        if planes is None:
+            return _P_SCALAR
+        return _P_DISP if planes.ndim == 4 else _P_PIXEL
 
-    row_n, row_f = pl.pallas_call(
-        kernel,
+    p1_mode, p2_mode = mode_of(p1_planes), mode_of(p2_planes)
+    has_seg = segments is not None
+    track = bool(min_cost_paths)
+
+    cost_hwd = _pad_nd(cost, (h8, w8, d8), _BIG)
+    cost_dw = jnp.moveaxis(cost_hwd, -1, 1)  # (H8, D8, W8)
+
+    # ---- row pass: 6 channels, DW layout ---------------------------------
+    n_spec = pl.BlockSpec((b, d8, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((b, d8, w8), lambda g: (gr - 1 - g, 0, 0), memory_space=pltpu.VMEM)
+    row_flips = [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)]
+    in_specs = [n_spec, f_spec]
+    args = [cost_dw, cost_dw]
+    for planes, mode in ((p1_planes, p1_mode), (p2_planes, p2_mode)):
+        if mode == _P_PIXEL:
+            args.append(_prep_planes_rows(planes, h8, w8, row_flips))
+            in_specs.append(
+                pl.BlockSpec((b, 6, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+            )
+        elif mode == _P_DISP:
+            chans = []
+            for ch, flip in row_flips:
+                p = _pad_nd(planes[ch].astype(jnp.float32), (h8, w8, d8), 0.0)
+                p = jnp.moveaxis(p, -1, 1)  # (H8, D8, W8)
+                chans.append(p[::-1] if flip else p)
+            args.append(jnp.stack(chans, axis=1))  # (H8, 6, D8, W8)
+            in_specs.append(
+                pl.BlockSpec((b, 6, d8, w8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM)
+            )
+    if has_seg:
+        seg = _pad_nd(segments.astype(jnp.int32), (h8, w8), -2)
+        args.append(jnp.stack([seg, seg[::-1]], axis=1))  # (H8, 2, W8)
+        in_specs.append(
+            pl.BlockSpec((b, 2, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        )
+
+    vol_sds = jax.ShapeDtypeStruct((h8, d8, w8), out_dtype)
+    out_specs = [n_spec, f_spec]
+    out_shape = [vol_sds, vol_sds]
+    if track:
+        am_n_spec = pl.BlockSpec((b, 3, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        am_f_spec = pl.BlockSpec((b, 3, w8), lambda g: (gr - 1 - g, 0, 0), memory_space=pltpu.VMEM)
+        out_specs += [am_n_spec, am_f_spec]
+        out_shape += [jax.ShapeDtypeStruct((h8, 3, w8), jnp.int32)] * 2
+    scratch = [pltpu.VMEM((6, d8, w8), jnp.float32)]
+    if has_seg:
+        scratch.append(pltpu.VMEM((2, w8), jnp.int32))
+
+    outs = pl.pallas_call(
+        partial(_row_kernel, p1, p2, p1_mode, p2_mode, has_seg, track),
         grid=(gr,),
         in_specs=in_specs,
-        out_specs=(n_spec, f_spec),
-        out_shape=out_sds,
-        scratch_shapes=[pltpu.VMEM((6, w8, d), jnp.float32)],
-        compiler_params=params,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(*args)
+    row_n, row_f = outs[0], outs[1]
+    amins_row = None
+    if track:
+        amins_row = jnp.concatenate([outs[2], outs[3]], axis=1)  # (H8, 6, W8)
 
-    # ---- col pass: 2 channels ------------------------------------------
-    cn_spec = pl.BlockSpec((h8, b, d), lambda g: (0, g, 0), memory_space=pltpu.VMEM)
-    cf_spec = pl.BlockSpec((h8, b, d), lambda g: (0, gc - 1 - g, 0), memory_space=pltpu.VMEM)
-    if p2_planes is None:
-        ckernel = partial(_col_kernel, p1, p2)
-        cin_specs = [cn_spec, cf_spec]
-        cargs = (cpad, cpad)
-    else:
-        pl8 = _pad_to(jnp.moveaxis(p2_planes.astype(jnp.float32), 0, -1), h8, w8, 0.0)
-        pl8 = jnp.moveaxis(pl8, -1, 0)  # (8, H8, W8), padded then mirrored
-        p2_cols = jnp.stack([pl8[6], pl8[7][:, ::-1]])  # (2, H8, W8)
-        p2_cols = jnp.moveaxis(p2_cols, (0, 1), (1, 2))  # (W8, 2, H8)
-        ckernel = partial(_col_kernel, p1, None)
-        cp2_spec = pl.BlockSpec((b, 2, h8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-        cin_specs = [cn_spec, cf_spec, cp2_spec]
-        cargs = (cpad, cpad, p2_cols)
+    # ---- col pass: 2 channels, HWD layout --------------------------------
+    cn_spec = pl.BlockSpec((h8, b, d8), lambda g: (0, g, 0), memory_space=pltpu.VMEM)
+    cf_spec = pl.BlockSpec((h8, b, d8), lambda g: (0, gc - 1 - g, 0), memory_space=pltpu.VMEM)
+    col_flips = [(6, False), (7, True)]
+    cin_specs = [cn_spec, cf_spec]
+    cargs = [cost_hwd, cost_hwd]
+    for planes, mode in ((p1_planes, p1_mode), (p2_planes, p2_mode)):
+        if mode == _P_PIXEL:
+            chans = []
+            for ch, flip in col_flips:
+                p = _pad_nd(planes[ch].astype(jnp.float32), (h8, w8), 0.0)
+                chans.append(p[:, ::-1] if flip else p)
+            cargs.append(jnp.stack(chans, axis=-1).transpose(1, 2, 0))  # (W8, 2, H8)
+            cin_specs.append(
+                pl.BlockSpec((b, 2, h8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+            )
+        elif mode == _P_DISP:
+            chans = []
+            for ch, flip in col_flips:
+                p = _pad_nd(planes[ch].astype(jnp.float32), (h8, w8, d8), 0.0)
+                chans.append(p[:, ::-1] if flip else p)
+            cargs.append(jnp.stack(chans, axis=1).transpose(2, 1, 0, 3))  # (W8,2,H8,D8)
+            cin_specs.append(
+                pl.BlockSpec((b, 2, h8, d8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM)
+            )
+    if has_seg:
+        seg = _pad_nd(segments.astype(jnp.int32), (h8, w8), -2)
+        cargs.append(jnp.stack([seg, seg[:, ::-1]], axis=-1).transpose(1, 2, 0))
+        cin_specs.append(
+            pl.BlockSpec((b, 2, h8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        )
 
-    col_n, col_f = pl.pallas_call(
-        ckernel,
+    cvol_sds = jax.ShapeDtypeStruct((h8, w8, d8), out_dtype)
+    cout_specs = [cn_spec, cf_spec]
+    cout_shape = [cvol_sds, cvol_sds]
+    if track:
+        cam_spec = pl.BlockSpec((b, 2, h8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        cout_specs.append(cam_spec)
+        cout_shape.append(jax.ShapeDtypeStruct((w8, 2, h8), jnp.int32))
+    cscratch = [pltpu.VMEM((2, h8, d8), jnp.float32)]
+    if has_seg:
+        cscratch.append(pltpu.VMEM((2, h8), jnp.int32))
+
+    couts = pl.pallas_call(
+        partial(_col_kernel, p1, p2, p1_mode, p2_mode, has_seg, track),
         grid=(gc,),
         in_specs=cin_specs,
-        out_specs=(cn_spec, cf_spec),
-        out_shape=out_sds,
-        scratch_shapes=[pltpu.VMEM((2, h8, d), jnp.float32)],
-        compiler_params=params,
+        out_specs=tuple(cout_specs),
+        out_shape=tuple(cout_shape),
+        scratch_shapes=cscratch,
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(*cargs)
+    col_n, col_f = couts[0], couts[1]
+    amins_col = couts[2] if track else None
 
-    return (row_n, row_f, col_n, col_f), (h8, w8)
+    # amins of the flipped col channel were written at flipped positions
+    # along W by cam_spec?  No: cam_spec indexes block g for both channels;
+    # channel 1's value for flipped col g*B+j was stored at [j, 1] — i.e.
+    # at FLIPPED w.  Restore normal orientation for channel 1.
+    if track:
+        amins_col = jnp.stack([amins_col[:, 0], amins_col[::-1, 1]], axis=1)
+
+    return SgmPartials(row_n, row_f, col_n, col_f, amins_row, amins_col, (h, w, d))
 
 
 def sgm_aggregate_pallas(
     cost: jnp.ndarray,
     p1: float,
     p2: float,
+    p1_planes: Optional[jnp.ndarray] = None,
     p2_planes: Optional[jnp.ndarray] = None,
+    segments: Optional[jnp.ndarray] = None,
+    min_cost_paths: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Sum of the 8 directional path costs (constant P1; P2 constant or
-    per-direction-per-pixel (8, H, W) in ops/sgm.ALL_DIRS order).
-
-    ``cost`` must be finite (caller replaces NaN).  Matches
-    ops.sgm.sgm_aggregate without segments/min_cost_paths/overcounting.
-    """
-    h, w = cost.shape[:2]
-    (row_n, row_f, col_n, col_f), _ = sgm_aggregate_partials_pallas(
-        cost, p1, p2, p2_planes, interpret
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Sum of the 8 directional path costs, (H, W, D) + optional
+    nb_of_directions map.  Matches ops.sgm.sgm_aggregate (without
+    overcounting, which callers apply on top)."""
+    h, w, d = cost.shape
+    parts = sgm_partials_pallas(
+        cost, p1, p2, p1_planes, p2_planes, segments, min_cost_paths, interpret=interpret
     )
-    total = row_n + row_f + col_n + col_f
-    return total[:h, :w]
+    rows = jnp.moveaxis(parts.row_n + parts.row_f, 1, -1)  # (H8, W8, D8)
+    total = (rows + parts.col_n + parts.col_f)[:h, :w, :d]
+
+    nb_dirs = None
+    if min_cost_paths:
+        final_arg = jnp.argmin(total, axis=-1).astype(jnp.int32)  # (H, W)
+        am_r = parts.amins_row[:h, :, :w]  # (H, 6, W)
+        am_c = parts.amins_col[:w, :, :h]  # (W, 2, H)
+        per_dir = [am_r[:, i] for i in range(6)]
+        per_dir += [am_c[:, 0].T, am_c[:, 1].T]
+        nb_dirs = sum((a == final_arg).astype(jnp.float32) for a in per_dir)
+    return total, nb_dirs
 
 
-def _combine_wta_kernel(n_disp, threshold, *refs):
-    """Grid step: total = Σ 4 partials, then WTA + vfit-triplet extraction
-    in VMEM — the total volume never reaches HBM.
+def _finish_kernel(n_disp, d_pad, threshold, *refs):
+    """Grid step: total = row_n + row_f + colsum on (B, D, W) DW tiles,
+    then WTA + vfit-triplet extraction in VMEM — the total volume never
+    reaches HBM.
 
-    refs: rn, rf, cn, cf (B, W, D) → idx (B, W) f32, c0, c1, c2 (B, W).
-    Entries ≥ threshold are the super-cost (invalid) sentinels: excluded
+    refs: rn, rf, cs (B, D, W) -> idx (B, W) f32, c0, c1, c2 (B, W).
+    Entries >= threshold are the super-cost (invalid) sentinels: excluded
     from the argmin and reported as NaN in the triplet."""
-    rn, rf, cn, cf, idx_ref, c0_ref, c1_ref, c2_ref = refs
+    rn, rf, cs, idx_ref, c0_ref, c1_ref, c2_ref = refs
     f32 = jnp.float32
-    t = (
-        rn[...].astype(f32) + rf[...].astype(f32) + cn[...].astype(f32) + cf[...].astype(f32)
-    )  # (B, W, D)
+    t = rn[...].astype(f32) + rf[...].astype(f32) + cs[...].astype(f32)  # (B, D, W)
     inv = t >= threshold
     g = jnp.where(inv, _BIG, t)
-    m = jnp.min(g, axis=2, keepdims=True)  # (B, W, 1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 2)
-    # first-occurrence argmin (numpy tie-breaking)
-    idx = jnp.min(jnp.where(g == m, iota, n_disp), axis=2)  # (B, W)
+    m = jnp.min(g, axis=1, keepdims=True)  # (B, 1, W)
+    iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    # first-occurrence argmin (numpy tie-breaking); padded disp lanes hold
+    # accumulated _BIG >= threshold so they never win
+    idx = jnp.min(jnp.where(g == m, iota, d_pad), axis=1)  # (B, W)
     idx_c = jnp.clip(idx, 1, n_disp - 2)
     tn = jnp.where(inv, jnp.nan, t)
+    ic = idx_c[:, None, :]
 
-    def sel(i):
-        return jnp.sum(jnp.where(iota == i[..., None], tn, 0.0), axis=2)
+    def sel(sel_idx):
+        return jnp.sum(jnp.where(iota == sel_idx, tn, 0.0), axis=1)
 
-    all_inv = m[..., 0] >= _BIG * 0.5
+    all_inv = m[:, 0] >= _BIG * 0.5
     idx_ref[...] = idx.astype(jnp.float32)
-    c0_ref[...] = sel(idx_c - 1)
-    c1_ref[...] = jnp.where(all_inv, jnp.nan, sel(idx))
-    c2_ref[...] = sel(idx_c + 1)
+    c0_ref[...] = sel(ic - 1)
+    c1_ref[...] = jnp.where(all_inv, jnp.nan, sel(idx[:, None, :]))
+    c2_ref[...] = sel(ic + 1)
 
 
-def combine_wta_pallas(partials, hw, n_disp, threshold, interpret: bool = False):
-    """Fused Σ-partials + WTA + triplet: one read of the 4 partial volumes,
+def combine_wta_pallas(parts: SgmPartials, threshold, interpret: bool = False):
+    """Fused Σ-partials + WTA + triplet: one read of the partial volumes,
     no materialized total.  Returns (idx int32, c0, c1, c2) cropped to
     (h, w); idx is the argmin position, c* the costs at idx-1/idx/idx+1
     with NaN where the entry is invalid (c1 NaN ⇔ every disparity invalid,
     the wta() all-NaN convention)."""
-    h, w = hw
-    h8, w8, d = partials[0].shape
+    h, w, d = parts.hwd
+    h8, d8, w8 = parts.row_n.shape
+    # one cheap XLA fused add+transpose brings the col partials into DW
+    colsum = jnp.moveaxis(
+        parts.col_n.astype(jnp.float32) + parts.col_f.astype(jnp.float32), -1, 1
+    ).astype(parts.row_n.dtype)
     b = _BLOCK
     gr = h8 // b
-    vol_spec = pl.BlockSpec((b, w8, d), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    vol_spec = pl.BlockSpec((b, d8, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
     map_spec = pl.BlockSpec((b, w8), lambda g: (g, 0), memory_space=pltpu.VMEM)
     map_sds = jax.ShapeDtypeStruct((h8, w8), jnp.float32)
-    params = pltpu.CompilerParams(vmem_limit_bytes=int(100 * 1024 * 1024))
     idx_f, c0, c1, c2 = pl.pallas_call(
-        partial(_combine_wta_kernel, n_disp, threshold),
+        partial(_finish_kernel, d, d8, threshold),
         grid=(gr,),
-        in_specs=[vol_spec] * 4,
+        in_specs=[vol_spec] * 3,
         out_specs=(map_spec,) * 4,
         out_shape=(map_sds,) * 4,
-        compiler_params=params,
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
-    )(*partials)
+    )(parts.row_n, parts.row_f, colsum)
     crop = (slice(None, h), slice(None, w))
     return idx_f[crop].astype(jnp.int32), c0[crop], c1[crop], c2[crop]
 
 
-def pallas_supported(cost_shape: Tuple[int, int, int], p1_planes, p2_planes, segments, min_cost_paths) -> bool:
-    """Whether the Pallas fast path covers this configuration."""
+def pallas_supported(
+    cost_shape: Tuple[int, int, int], p1_planes, p2_planes, segments, min_cost_paths
+) -> bool:
+    """Whether the Pallas fast path covers this configuration.
+
+    Since the DW-layout rewrite this is every plugin_libsgm.rst:95-330
+    configuration row — per-pixel and per-(pixel, disp) P1/P2, 3SGM
+    segments and min_cost_paths included.  The only remaining gates are
+    VMEM capacity for the recurrence carries and (for per-direction
+    CONSTANT planes) value uniformity, since the kernel closure takes one
+    scalar per penalty."""
     h, w, d = cost_shape
-    if segments is not None or min_cost_paths:
+    w8 = -(-w // 128) * 128
+    h8 = -(-h // _BLOCK) * _BLOCK
+    d8 = -(-d // 16) * 16
+    # VMEM: carries + a few double-buffered blocks must fit
+    if 6 * d8 * w8 * 4 > 48 * 1024 * 1024:
         return False
-    if not (p1_planes.ndim == 3 and p1_planes.shape[1] == 1 and p1_planes.shape[2] == 1):
-        return False  # per-pixel P1 (mc_cnn) not supported in the kernel
-    if p2_planes.ndim == 4:
+    if 2 * h8 * d8 * 4 > 48 * 1024 * 1024:
         return False
-    # VMEM: the (6, W, D) / (2, H, D) carries plus a few blocks must fit
-    if 6 * w * d * 4 > 64 * 1024 * 1024:
-        return False
-    if 2 * h * d * 4 > 64 * 1024 * 1024:
-        return False
+    if p1_planes is not None and p1_planes.ndim == 4 and p2_planes is not None and p2_planes.ndim == 4:
+        # per-disp penalty blocks: 2 penalties x (B, 6, D8, W8) double-buffered
+        if 2 * 2 * _BLOCK * 6 * d8 * w8 * 4 > 80 * 1024 * 1024:
+            return False
     return True
