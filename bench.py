@@ -7,6 +7,13 @@ Prints ONE JSON line:
    (same census+SGM+WTA algorithm, measured on this machine — the
    reference CNES/Pandora publishes no perf numbers, BASELINE.md)}
 
+Options:
+  --stages    also print a per-stage timing breakdown (one JSON line per
+              stage) before the headline line
+  --accuracy  also run the compiled TPU path on the real Middlebury cones
+              pair and print the bad-1 error rate line (hardware-path
+              accuracy artifact; gate <= 0.20, test_basic.py:159)
+
 Timing methodology: the axon TPU platform's block_until_ready does not
 synchronize, so each timed batch chains a scalar nansum per run and forces
 one tiny host transfer at the end.
@@ -53,8 +60,100 @@ def cpu_baseline_seconds() -> float:
     return secs
 
 
-def main() -> None:
+def _timeit(fn, *args, n=10):
     import jax
+    import jax.numpy as jnp
+
+    out = fn(*args)
+    _ = float(jnp.nansum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        accs = []
+        for _ in range(n):
+            out = fn(*args)
+            accs.append(jnp.nansum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        _ = float(jnp.stack(accs).sum())
+        dt = min(dt, (time.time() - t0) / n)
+    return dt, out
+
+
+def _stage_breakdown(left, right):
+    """Per-stage timings of the production (uint8 scan-layout) fast path."""
+    import jax
+    import jax.numpy as jnp
+
+    from pandora_tpu.fused import _U8_THRESH
+    from pandora_tpu.ops.census import census_cost_volume_scan_layouts
+    from pandora_tpu.ops.sgm_pallas import (
+        SgmPartials,
+        combine_wta_pallas,
+        sgm_partials_from_layouts,
+    )
+
+    cvf = jax.jit(
+        lambda a, b: census_cost_volume_scan_layouts(
+            a, b, -(NDISP - 1), 0, 1, 5, jnp.uint8
+        )[:2]
+    )
+    dt_cv, (rdw, cdh) = _timeit(cvf, left, right)
+
+    pf = jax.jit(
+        lambda r, c: sgm_partials_from_layouts(
+            r, c, (ROWS, COLS, NDISP), 8.0, 32.0, out_dtype=jnp.bfloat16
+        )
+    )
+    dt_p, parts = _timeit(pf, rdw, cdh)
+
+    cb = jax.jit(
+        lambda rn, rf, cn, cf: combine_wta_pallas(
+            SgmPartials(rn, rf, cn, cf, None, None, (ROWS, COLS, NDISP)), _U8_THRESH
+        )
+    )
+    dt_c, _ = _timeit(cb, parts.row_n, parts.row_f, parts.col_n, parts.col_f)
+    for name, dt in (
+        ("census+cost-volume (u8 scan layouts)", dt_cv),
+        ("SGM 8-path partials (pallas)", dt_p),
+        ("combine+WTA+vfit-triplet (pallas)", dt_c),
+    ):
+        print(json.dumps({"stage": name, "ms": round(dt * 1e3, 3)}))
+
+
+def _accuracy_line():
+    """bad-1 on cones through the compiled TPU fast path (not interpret)."""
+    import jax.numpy as jnp
+
+    from pandora_tpu.fused import make_jitted_pipeline
+    from pandora_tpu.io.raster import read_raster
+
+    base = "/root/reference/tests/pandora"
+    left, *_ = read_raster(os.path.join(base, "left.png"))
+    right, *_ = read_raster(os.path.join(base, "right.png"))
+    gt, *_ = read_raster(os.path.join(base, "disp_left.tif"))
+    left, right, gt = left[0], right[0], gt[0]
+
+    fn = make_jitted_pipeline(
+        dmin=-60, dmax=0, subpix=1, window_size=5,
+        matching_cost="census", optimization="sgm", p1=8.0, p2=32.0,
+        refinement="vfit", median_size=3,
+    )
+    disp, _ = fn(jnp.asarray(left), jnp.asarray(right))
+    d = np.asarray(disp)
+    mask = gt != 0
+    bad1 = float((np.abs(d[mask] + gt[mask]) > 1).sum() / d.size)
+    print(
+        json.dumps(
+            {
+                "metric": "cones bad-1 (TPU compiled fused path)",
+                "value": round(bad1, 4),
+                "unit": "error rate",
+                "gate": 0.20,
+            }
+        )
+    )
+
+
+def main() -> None:
     import jax.numpy as jnp
 
     from pandora_tpu.fused import make_jitted_pipeline
@@ -75,23 +174,12 @@ def main() -> None:
     left = jnp.asarray(rng.random((ROWS, COLS), np.float32) * 255)
     right = jnp.asarray(rng.random((ROWS, COLS), np.float32) * 255)
 
-    # warm up + force completion with a host read
-    out = fn(left, right)
-    _ = float(jnp.nansum(out[0]))
+    if "--accuracy" in sys.argv:
+        _accuracy_line()
+    if "--stages" in sys.argv:
+        _stage_breakdown(left, right)
 
-    # best of 3 batches: on the tunneled axon platform the first batch
-    # after warmup still pays deferred program-upload work (~90 ms)
-    n = 10
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        accs = []
-        for _ in range(n):
-            out = fn(left, right)
-            accs.append(jnp.nansum(out[0]))
-        _ = float(jnp.stack(accs).sum())  # single sync point
-        dt = min(dt, (time.time() - t0) / n)
-
+    dt, _ = _timeit(fn, left, right)
     mpix_s = (ROWS * COLS / 1e6) / dt
     cpu_secs = cpu_baseline_seconds()
     cpu_mpix_s = (ROWS * COLS / 1e6) / cpu_secs

@@ -59,6 +59,14 @@ def stereo_pipeline(
             and pallas_supported((*left.shape, n_disp), None, None, None, False)
         )
 
+    if matching_cost == "census" and sgm_fast:
+        # fully fused fast path: the cost volume is built DIRECTLY in the
+        # two SGM scan layouts (no intra-tile volume transpose), as uint8
+        # when the cost family fits (4x less HBM traffic than f32, exact)
+        return _census_sgm_fast_path(
+            left, right, dmin, dmax, subpix, window_size, p1, p2,
+            refinement, median_size,
+        )
     if matching_cost == "census":
         cv = census_cost_volume(
             left,
@@ -68,10 +76,9 @@ def stereo_pipeline(
             subpix,
             window_size,
             unroll=optimization is None,
-            invalid_value=_SUPER if sgm_fast else float("nan"),
         )
         type_measure = "min"
-        presubstituted = sgm_fast
+        presubstituted = False
     elif matching_cost in ("sad", "ssd"):
         cv = sad_ssd_cost_volume(
             left, right, dmin, dmax, subpix, window_size, matching_cost == "ssd"
@@ -86,18 +93,10 @@ def stereo_pipeline(
     if optimization == "sgm":
         use_pallas = sgm_ops.default_use_pallas()
         if sgm_fast:
-            # fully fused fast path: NaN→super-cost, 8-path partials, then
-            # one combine kernel doing Σ + WTA + vfit-triplet in VMEM —
-            # the aggregated volume never reaches HBM
-            # bf16 partial volumes are bit-exact when every path cost is an
-            # integer <= 256 (integer penalties, census costs <= w², row
-            # triples <= 3·(cmax+P2)) — half the HBM traffic for free
-            bf16_ok = (
-                matching_cost == "census"
-                and float(p1).is_integer()
-                and float(p2).is_integer()
-                and 3 * (window_size**2 + p2) <= 256
-            )
+            # fused fast path for the non-census cost families: NaN→super-
+            # cost, 8-path partials, then one combine kernel doing Σ + WTA
+            # + vfit-triplet in VMEM — the aggregated volume never reaches
+            # HBM (census rides the even faster layouts path above)
             disp, vmask = _sgm_wta_pallas_path(
                 cv,
                 type_measure,
@@ -107,7 +106,7 @@ def stereo_pipeline(
                 p1,
                 p2,
                 refinement,
-                bf16_ok,
+                False,
                 presubstituted,
             )
             if median_size:
@@ -153,6 +152,61 @@ def stereo_pipeline(
 # per-entry costs up to ~6e10 — any real imagery.
 _SUPER = 1.0e12
 _THRESH = 5.0e11
+
+# uint8 census volumes: invalid entries hold 255, so 8-path totals of
+# invalid entries are >= 8*255 = 2040 while valid ones are <= 8*(cmax+P2);
+# gating on 8*(cmax+P2) <= 1600 leaves a >400 margin (far beyond the ±8
+# worst-case bf16 rounding of invalid partials)
+_U8_THRESH = 1800.0
+
+
+def _census_sgm_fast_path(
+    left, right, dmin, dmax, subpix, window_size, p1, p2, refinement, median_size
+):
+    """census → 8-path SGM → WTA → refine → median as three Pallas kernels
+    plus XLA glue, with the cost volume built directly in both scan
+    layouts (uint8 when the cost family fits)."""
+    from .ops.census import census_cost_volume_scan_layouts
+    from .ops.refinement import refine_from_triplet
+    from .ops.sgm_pallas import combine_wta_pallas, sgm_partials_from_layouts
+
+    cmax = float(window_size**2)
+    u8_ok = 8.0 * (cmax + float(p2)) <= 1600.0
+    dtype = jnp.uint8 if u8_ok else jnp.float32
+    threshold = _U8_THRESH if u8_ok else _THRESH
+    # bf16 partial volumes are bit-exact when every path cost is an
+    # integer <= 256 (integer penalties, census costs <= w², row triples
+    # <= 3·(cmax+P2)) — half the HBM traffic for free
+    bf16_ok = (
+        float(p1).is_integer()
+        and float(p2).is_integer()
+        and 3 * (cmax + float(p2)) <= 256
+    )
+    out_dtype = jnp.bfloat16 if bf16_ok else jnp.float32
+
+    cost_rdw, cost_cdh, hwd = census_cost_volume_scan_layouts(
+        left, right, dmin, dmax, subpix, window_size, dtype
+    )
+    parts = sgm_partials_from_layouts(
+        cost_rdw, cost_cdh, hwd, float(p1), float(p2), out_dtype=out_dtype
+    )
+    idx, c0, c1, c2 = combine_wta_pallas(parts, threshold)
+
+    disp = jnp.float32(dmin) + idx.astype(jnp.float32) / jnp.float32(subpix)
+    invalid_mc = jnp.isnan(c1)  # every disparity invalid (wta all-NaN rule)
+    disp = jnp.where(invalid_mc, jnp.nan, disp)
+    vmask = jnp.where(
+        invalid_mc, jnp.uint16(cst.PANDORA_MSK_PIXEL_INVALID), jnp.uint16(0)
+    )
+    if refinement in ("vfit", "quadratic"):
+        disp, vmask, _ = refine_from_triplet(
+            c0, c1, c2, disp, vmask, float(dmin), float(dmax), subpix, "min", refinement
+        )
+    if median_size:
+        disp = median_filter_disparity(
+            disp, vmask, cst.PANDORA_MSK_PIXEL_INVALID, median_size
+        )
+    return disp, vmask
 
 
 def _sgm_wta_pallas_path(

@@ -51,10 +51,90 @@ def census_transform(im: jnp.ndarray, win_c: int, win_r: int) -> jnp.ndarray:
     return jnp.stack(words, axis=-1)
 
 
+def census_transform_pallas(im: jnp.ndarray, win: int, interpret: bool = False) -> jnp.ndarray:
+    """Bit-packed census signatures as ONE Pallas pass, (row, col, nwords)
+    int32 (bit layout identical to :func:`census_transform`).
+
+    The XLA formulation is HBM-bound: the 25-step accumulate chain does
+    not fuse, so every window offset re-reads the image.  Here the window
+    row offsets become ``win`` cheap pre-shifted views (XLA copies, ~4 MB
+    each) read block-by-block, and the packing chain lives entirely in
+    registers; column offsets are static lane slices."""
+    import jax  # local: keep module import light
+    from functools import partial as _partial
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = im.shape
+    hh = hw = win // 2
+    n_bits = win * win
+    n_words = -(-n_bits // 32)
+    b = 8
+    h8 = -(-h // b) * b
+    padded = jnp.pad(im, ((hh, hh + (h8 - h)), (hw, hw)), mode="edge")
+    views = [padded[dr : dr + h8] for dr in range(win)]  # (h8, w + 2hw) each
+
+    def kernel(*refs):
+        in_refs, out_refs = refs[:win], refs[win:]
+        center = in_refs[hh][...][:, hw : hw + w]
+        accs = [jnp.zeros((b, w), jnp.int32) for _ in range(n_words)]
+        bit = 0
+        for dr in range(win):
+            row = in_refs[dr][...]
+            for dc in range(win):
+                nb = row[:, dc : dc + w]
+                word, pos = bit // 32, bit % 32
+                accs[word] = accs[word] | ((nb > center).astype(jnp.int32) << (31 - pos))
+                bit += 1
+        for word in range(n_words):
+            out_refs[word][...] = accs[word]
+
+    view_spec = pl.BlockSpec((b, w + 2 * hw), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((b, w), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(h8 // b,),
+        in_specs=[view_spec] * win,
+        out_specs=(out_spec,) * n_words,
+        out_shape=(jax.ShapeDtypeStruct((h8, w), jnp.int32),) * n_words,
+        interpret=interpret,
+    )(*views)
+    return jnp.stack([o[:h] for o in outs], axis=-1)
+
+
+def _use_pallas_census() -> bool:
+    try:
+        import jax
+
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 def _hamming_plane(lsig: jnp.ndarray, rsig: jnp.ndarray) -> jnp.ndarray:
     """Sum of popcounts of XOR'd signature words → (row, col) float32."""
     x = jax.lax.population_count(lsig ^ rsig)
     return jnp.sum(x, axis=-1).astype(jnp.float32)
+
+
+def _scan_integer_disps_rows(lsig_t, rsig_padded_t, n_int, width, chunk: int = 16):
+    """Transposed-orientation variant of :func:`_scan_integer_disps`: the
+    signatures are (X, H, nwords) and the disparity slide runs along axis
+    0 (the sublane-major axis), yielding (n_int, X, H) planes — the col-
+    pass layout is then a cheap major-axis moveaxis, never an intra-tile
+    volume transpose."""
+    n_pad = -(-n_int // chunk) * chunk
+    rsig_padded_t = jnp.pad(
+        rsig_padded_t, ((0, n_pad - n_int + chunk), (0, 0), (0, 0))
+    )
+
+    def step(_, k0):
+        rs = jax.lax.dynamic_slice_in_dim(rsig_padded_t, k0, width + chunk - 1, axis=0)
+        planes = [_hamming_plane(lsig_t, rs[j : j + width]) for j in range(chunk)]
+        return None, jnp.stack(planes)
+
+    _, costs = jax.lax.scan(step, None, jnp.arange(0, n_pad, chunk))
+    return costs.reshape(n_pad, *lsig_t.shape[:2])[:n_int]
 
 
 def _scan_integer_disps(lsig, rsig_padded, n_int, width, chunk: int = 16):
@@ -106,12 +186,17 @@ def census_cost_volume(
     n_int = dmax - dmin + 1
     n_disp = (dmax - dmin) * subpix + 1
 
-    lsig = census_transform(left, window_size, window_size)
+    transform = (
+        (lambda im: census_transform_pallas(im, window_size))
+        if _use_pallas_census()
+        else (lambda im: census_transform(im, window_size, window_size))
+    )
+    lsig = transform(left)
     rights = shift_subpix(right, subpix)
 
     per_shift = []
     for i, r_im in enumerate(rights):
-        rsig = census_transform(r_im, window_size, window_size)
+        rsig = transform(r_im)
         wi = rsig.shape[1]
         # lay out columns so disparity index k reads slice starting at col k:
         # position of right_x = col + dmin + k  →  pad left by -dmin... but
@@ -156,3 +241,117 @@ def census_cost_volume(
 def census_cmax(window_size: int) -> float:
     """Maximal census cost (census.py:116-122)."""
     return float(window_size**2)
+
+
+# uint8 invalid-cost sentinel for the fused SGM path: valid census costs
+# are <= window² <= 169, and any directional SGM L-value is <= cmax + P2,
+# so 255 dominates per direction whenever cmax + P2 < 255 and 8-path
+# totals of invalid entries (>= 8*255 = 2040) separate from valid ones
+# (<= 8*(cmax+P2)) with a wide margin even under bf16 partial rounding.
+U8_INVALID = 255
+
+
+def census_cost_volume_scan_layouts(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    dmin: int,
+    dmax: int,
+    subpix: int = 1,
+    window_size: int = 5,
+    dtype: jnp.dtype = jnp.uint8,
+):
+    """Census cost volume directly in BOTH SGM scan layouts:
+
+    * ``cost_rdw`` (H8, D8, W8) — rows major, disp on sublanes, cols on
+      lanes (the row-pass layout);
+    * ``cost_cdh`` (W8, D8, H8) — the col-pass layout, built from
+      TRANSPOSED signatures so no intra-tile volume transpose is ever
+      materialized (only cheap major-axis moveaxis copies).
+
+    Shapes are pre-padded for the Pallas grid (lines to a multiple of
+    128 for the opposite pass's lane axis, D to the dtype's sublane
+    tile); padding and never-computed entries (reference loop bounds,
+    census.cpp:132-172) hold the invalid sentinel: 255 for uint8 —
+    exact, 4x less HBM traffic than f32 — or the f32 super-cost.
+    Returns (cost_rdw, cost_cdh, hwd).
+    """
+    from ..fused import _SUPER  # noqa: PLC0415 (cycle-free: constant only)
+
+    h, w = left.shape
+    n_int = dmax - dmin + 1
+    n_disp = (dmax - dmin) * subpix + 1
+    hw = window_size // 2
+    d_tile = 32 if dtype == jnp.uint8 else 16
+    h8 = -(-h // 128) * 128
+    w8 = -(-w // 128) * 128
+    d8 = -(-n_disp // d_tile) * d_tile
+    invalid = U8_INVALID if dtype == jnp.uint8 else _SUPER
+
+    transform = (
+        (lambda im: census_transform_pallas(im, window_size))
+        if _use_pallas_census()
+        else (lambda im: census_transform(im, window_size, window_size))
+    )
+    lsig = transform(left)
+    rights = shift_subpix(right, subpix)
+
+    def pad_right_sig(rsig):
+        wi = rsig.shape[1]
+        pad_l = max(0, -dmin)
+        pad_r = max(0, dmax + w - wi) + max(0, -(dmin + pad_l)) + 1
+        rsig_p = jnp.pad(rsig, ((0, 0), (pad_l, pad_r), (0, 0)))
+        start0 = dmin + pad_l
+        if start0 > 0:
+            return rsig_p[:, start0:]
+        return jnp.pad(rsig_p, ((0, 0), (-start0, 0), (0, 0)))
+
+    # transposing the small (H, W, words) signatures once is cheap; the
+    # volume itself is then produced directly in each scan orientation
+    lsig_t = jnp.swapaxes(lsig, 0, 1)
+    per_shift_n, per_shift_t = [], []
+    for r_im in rights:
+        rsig = transform(r_im)
+        rsig_p = pad_right_sig(rsig)
+        per_shift_n.append(_scan_integer_disps(lsig, rsig_p, n_int, w))
+        per_shift_t.append(
+            _scan_integer_disps_rows(lsig_t, jnp.swapaxes(rsig_p, 0, 1), n_int, w)
+        )  # (n_int, W, H)
+
+    def interleave(per_shift, axis_shape):
+        stacked = jnp.stack(per_shift, axis=1)  # (n_int, subpix, L, X)
+        cv = stacked.reshape(n_int * subpix, *axis_shape)[:n_disp]
+        return cv  # (D, L, X)
+
+    cv_dhw = interleave(per_shift_n, (h, w))  # (D, H, W)
+    cv_dwh = interleave(per_shift_t, (w, h))  # (D, W, H)
+
+    # ---- validity pattern (reference loop bounds, census.cpp:132-158) ----
+    cols = jnp.arange(w)[:, None]  # (W, 1)
+    k = jnp.arange(n_disp)[None, :]  # (1, D)
+    d_int = dmin + k // subpix
+    i_shift = k % subpix
+    right_x = cols + d_int
+    valid_wd = (cols >= hw) & (cols < w - hw) & (right_x >= hw) & (right_x < w - hw)
+    valid_wd &= jnp.where(i_shift > 0, right_x < w - hw - 1, True)
+    rows_valid = (jnp.arange(h) >= hw) & (jnp.arange(h) < h - hw)
+
+    inval = jnp.asarray(invalid, dtype)
+    mask_dhw = valid_wd.T[:, None, :] & rows_valid[None, :, None]  # (D, H, W)
+    mask_dwh = valid_wd.T[:, :, None] & rows_valid[None, None, :]  # (D, W, H)
+    cv_dhw = jnp.where(mask_dhw, cv_dhw.astype(dtype), inval)
+    cv_dwh = jnp.where(mask_dwh, cv_dwh.astype(dtype), inval)
+
+    # major-axis moveaxis (tile addresses permute, no intra-tile shuffle)
+    cost_rdw = jnp.moveaxis(cv_dhw, 0, 1)  # (H, D, W)
+    cost_cdh = jnp.moveaxis(cv_dwh, 0, 1)  # (W, D, H)
+    cost_rdw = jnp.pad(
+        cost_rdw,
+        ((0, h8 - h), (0, d8 - n_disp), (0, w8 - w)),
+        constant_values=invalid,
+    )
+    cost_cdh = jnp.pad(
+        cost_cdh,
+        ((0, w8 - w), (0, d8 - n_disp), (0, h8 - h)),
+        constant_values=invalid,
+    )
+    return cost_rdw, cost_cdh, (h, w, n_disp)

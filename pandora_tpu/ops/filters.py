@@ -33,12 +33,19 @@ def nanmedian_window(a: jnp.ndarray, size: int) -> jnp.ndarray:
     h, w = a.shape
     r = size // 2
     p = jnp.pad(a, r, constant_values=jnp.nan)
-    stack = jnp.stack(
-        [p[dr : dr + h, dc : dc + w] for dr in range(size) for dc in range(size)], axis=0
-    )
+    planes = [p[dr : dr + h, dc : dc + w] for dr in range(size) for dc in range(size)]
     k = size * size
-    s = jnp.sort(stack, axis=0)  # NaNs sort to the end
-    n = jnp.sum(~jnp.isnan(stack), axis=0)
+    n = sum(jnp.isfinite(x).astype(jnp.int32) for x in planes)
+    # NaN -> +inf, then an odd-even transposition network of min/max pairs:
+    # XLA's generic variadic sort is ~10x slower than k²/2 fused
+    # compare-exchanges for the tiny window sizes used here
+    vals = [jnp.where(jnp.isnan(x), jnp.inf, x) for x in planes]
+    for rnd in range(k):
+        for i in range(rnd % 2, k - 1, 2):
+            lo_v = jnp.minimum(vals[i], vals[i + 1])
+            hi_v = jnp.maximum(vals[i], vals[i + 1])
+            vals[i], vals[i + 1] = lo_v, hi_v
+    s = vals  # list of (H, W), ascending; former NaNs at the end as +inf
     lo = jnp.clip((n - 1) // 2, 0, k - 1)
     hi = jnp.clip(n // 2, 0, k - 1)
     med = jnp.zeros_like(a)

@@ -6,18 +6,21 @@ while-loop overhead dominates.  These kernels exploit the TPU grid's
 *sequential* execution with automatic double-buffered DMA pipelining, and
 lay the volume out so the vector unit runs on FULL (8, 128) registers:
 
-* row pass: the volume is consumed in ``(row, disp, col)`` ("DW") layout —
-  col on the 128-wide lane axis (full occupancy even for D=64, which in
-  the (col, disp) layout wasted half the lanes), disp on sublanes, so the
-  disparity-neighbor mins are cheap sublane shifts and the path minimum is
-  a sublane reduction.  The grid advances groups of ``_BLOCK`` rows for
-  all 6 vertical/diagonal directions at once, with the directional
-  L-values carried across grid steps in a VMEM scratch.  The 3 up-going
-  directions run on the row-flipped volume WITHOUT materializing a flip —
-  their BlockSpec index maps address block ``G-1-g``;
-* col pass: the same structure over groups of ``_BLOCK`` columns for the
-  2 horizontal directions in the natural (row, col, disp) layout (the
-  recurrence walks the col axis, so per-step tiles are (row, disp));
+* ONE generic scan kernel advances a group of directions one line at a
+  time over a ``(line, disp, cross)`` layout — the cross axis (1024-ish)
+  on the 128-wide lane axis (full occupancy even for D=64, which a
+  (cross, disp) tiling would waste half of), disp on sublanes, so the
+  disparity-neighbor mins are cheap sublane shifts and the path minimum
+  is a sublane reduction.  Each grid step advances ``_BLOCK`` lines; the
+  directional L-values are carried across grid steps in a VMEM scratch.
+  Up-going directions run on the flipped volume WITHOUT materializing a
+  flip — their BlockSpec index maps address block ``G-1-g``;
+* the row pass instantiates it with 6 channels (down/up triples, cross
+  shifts 0/+1/-1) on the (row, disp, col) volume; the col pass with 2
+  channels (left->right / right->left, shift 0) on the TRANSPOSED
+  (col, disp, row) volume — walking the *major* block dim keeps every
+  per-line slice contiguous (a middle-dim slice would read one sublane
+  per tile and relayout);
 * image borders and the block-size padding share one mechanism: padded
   cells hold a finite ``_BIG`` cost, so their L-values stay >= _BIG and
   float absorption (_BIG + P == _BIG exactly in f32 for any real penalty)
@@ -44,18 +47,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1.0e30  # finite "no predecessor" sentinel (inf breaks min/NaN rules)
-_BLOCK = 8  # rows (cols) advanced per grid step
+_BLOCK = 8  # lines advanced per grid step
 
 # penalty modes
 _P_SCALAR = 0  # python-float closure constant
-_P_PIXEL = 1  # (H, ch, W) rows — one penalty row per pixel per direction
-_P_DISP = 2  # (H, ch, D, W) — per (pixel, disparity) (mc_cnn_fast)
+_P_PIXEL = 1  # (L, ch, X) — one penalty value per pixel per direction
+_P_DISP = 2  # (L, ch, D, X) — per (pixel, disparity) (mc_cnn_fast)
 
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=int(100 * 1024 * 1024))
 
 
 def _msg_dw(prev, p1, p2):
-    """SGM message on a (D, W) tile: min(prev, prev_{d+-1}+P1,
+    """SGM message on a (D, X) tile: min(prev, prev_{d+-1}+P1,
     min_d prev + P2) - min_d prev.
 
     Restart-at-border needs no explicit test: padded predecessors hold
@@ -64,13 +67,13 @@ def _msg_dw(prev, p1, p2):
     big_row = jnp.full_like(prev[:1], _BIG)
     d_down = jnp.concatenate([big_row, prev[:-1]], axis=0)
     d_up = jnp.concatenate([prev[1:], big_row], axis=0)
-    min_prev = jnp.min(prev, axis=0, keepdims=True)  # (1, W)
+    min_prev = jnp.min(prev, axis=0, keepdims=True)  # (1, X)
     m = jnp.minimum(prev, jnp.minimum(d_down, d_up) + p1)
     return jnp.minimum(m, min_prev + p2) - min_prev
 
 
 def _shift_lane(a, dc):
-    """Shift along the col (lane) axis: out[..., c] = a[..., c - dc]."""
+    """Shift along the cross (lane) axis: out[..., c] = a[..., c - dc]."""
     if dc == 0:
         return a
     big = jnp.full_like(a[..., :1], _BIG)
@@ -88,17 +91,29 @@ def _shift_lane_i32(a, dc, fill=-1):
     return jnp.concatenate([a[..., 1:], pad], axis=-1)
 
 
+def _to_f32(x):
+    """Load-cast to f32; Mosaic has no direct uint8->f32 lowering, so
+    uint8 costs hop through int16 (exact for the 0..255 range)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.int16).astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
 def _sub_argmin(l, d_pad):
-    """First-occurrence argmin over the sublane (disp) axis → (1, W) i32."""
+    """First-occurrence argmin over the sublane (disp) axis → (1, X) i32."""
     m = jnp.min(l, axis=0, keepdims=True)
     iota = jax.lax.broadcasted_iota(jnp.int32, l.shape, 0)
     return jnp.min(jnp.where(l == m, iota, d_pad), axis=0, keepdims=True)
 
 
-def _row_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, *refs):
-    """Grid step: advance the 6 vertical/diagonal directions _BLOCK rows.
+def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, *refs):
+    """Grid step: advance ``len(shifts)`` directions _BLOCK lines.
 
-    DW layout: cost_n/cost_f are (B, D, W); carry is (6, D, W)."""
+    Layout (line, disp, cross): cost_n/cost_f are (B, D, X); carry is
+    (n_ch, D, X).  The first half of the channels runs on the normal
+    volume, the second half on the flipped one (flipped refs)."""
+    n_ch = len(shifts)
+    half = n_ch // 2
     it = iter(refs)
     cost_n_ref = next(it)
     cost_f_ref = next(it)
@@ -119,21 +134,20 @@ def _row_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, *refs):
         if segc_ref is not None:
             segc_ref[...] = jnp.full_like(segc_ref, -1)
 
-    shifts = (0, 1, -1)
-    prev = [carry_ref[ch] for ch in range(6)]
+    prev = [carry_ref[ch] for ch in range(n_ch)]
     prev_seg = [segc_ref[grp] for grp in range(2)] if has_seg else None
     b, d_pad = cost_n_ref.shape[0], cost_n_ref.shape[1]
     for j in range(b):
-        cost_n = cost_n_ref[j].astype(jnp.float32)  # row g*B + j, (D, W)
-        cost_f = cost_f_ref[b - 1 - j].astype(jnp.float32)  # flipped row
+        cost_n = _to_f32(cost_n_ref[j])  # line g*B + j, (D, X)
+        cost_f = _to_f32(cost_f_ref[b - 1 - j])  # flipped line
         if has_seg:
-            seg_n = seg_ref[j, 0]  # (W,) int32
+            seg_n = seg_ref[j, 0]  # (X,) int32
             seg_f = seg_ref[j, 1]
         l_new, am_n, am_f = [], [], []
-        for ch in range(6):
-            grp = 0 if ch < 3 else 1
-            dc = shifts[ch % 3]
-            cost = cost_n if ch < 3 else cost_f
+        for ch in range(n_ch):
+            grp = 0 if ch < half else 1
+            dc = shifts[ch]
+            cost = cost_n if grp == 0 else cost_f
             pv = _shift_lane(prev[ch], dc)
             if p1_mode == _P_SCALAR:
                 p1c = p1
@@ -155,94 +169,24 @@ def _row_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, *refs):
             l = cost + msg
             l_new.append(l)
             if track:
-                (am_n if ch < 3 else am_f).append(_sub_argmin(l, d_pad))
+                (am_n if grp == 0 else am_f).append(_sub_argmin(l, d_pad))
         prev = l_new
         if has_seg:
             prev_seg = [seg_n, seg_f]
         # cast on write: callers may request bf16 partials (exact when every
         # L is an integer <= 256 — see sgm_partials_pallas)
-        out_n_ref[j] = (l_new[0] + l_new[1] + l_new[2]).astype(out_n_ref.dtype)
-        out_f_ref[b - 1 - j] = (l_new[3] + l_new[4] + l_new[5]).astype(out_f_ref.dtype)
+        out_n = l_new[0]
+        for ch in range(1, half):
+            out_n = out_n + l_new[ch]
+        out_f = l_new[half]
+        for ch in range(half + 1, n_ch):
+            out_f = out_f + l_new[ch]
+        out_n_ref[j] = out_n.astype(out_n_ref.dtype)
+        out_f_ref[b - 1 - j] = out_f.astype(out_f_ref.dtype)
         if track:
             amin_n_ref[j] = jnp.concatenate(am_n, axis=0)
             amin_f_ref[b - 1 - j] = jnp.concatenate(am_f, axis=0)
-    for ch in range(6):
-        carry_ref[ch] = prev[ch]
-    if has_seg:
-        for grp in range(2):
-            segc_ref[grp] = prev_seg[grp]
-
-
-def _msg_hd(prev, p1, p2):
-    """SGM message on an (H, D) tile (disp on lanes)."""
-    big_lane = jnp.full_like(prev[:, :1], _BIG)
-    d_down = jnp.concatenate([big_lane, prev[:, :-1]], axis=1)
-    d_up = jnp.concatenate([prev[:, 1:], big_lane], axis=1)
-    min_prev = jnp.min(prev, axis=1, keepdims=True)
-    m = jnp.minimum(prev, jnp.minimum(d_down, d_up) + p1)
-    return jnp.minimum(m, min_prev + p2) - min_prev
-
-
-def _col_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, *refs):
-    """Grid step: advance the 2 horizontal directions _BLOCK columns.
-
-    HWD layout: cost_n/cost_f are (H, B, D); carry is (2, H, D)."""
-    it = iter(refs)
-    cost_n_ref = next(it)
-    cost_f_ref = next(it)
-    p1_ref = next(it) if p1_mode != _P_SCALAR else None
-    p2_ref = next(it) if p2_mode != _P_SCALAR else None
-    seg_ref = next(it) if has_seg else None
-    out_n_ref = next(it)
-    out_f_ref = next(it)
-    amin_ref = next(it) if track else None
-    carry_ref = next(it)
-    segc_ref = next(it) if has_seg else None
-    g = pl.program_id(0)
-
-    @pl.when(g == 0)
-    def _():
-        carry_ref[...] = jnp.full_like(carry_ref, _BIG)
-        if segc_ref is not None:
-            segc_ref[...] = jnp.full_like(segc_ref, -1)
-
-    prev = [carry_ref[ch] for ch in range(2)]
-    prev_seg = [segc_ref[grp] for grp in range(2)] if has_seg else None
-    b, d_pad = cost_n_ref.shape[1], cost_n_ref.shape[2]
-    for j in range(b):
-        cost2 = (cost_n_ref[:, j], cost_f_ref[:, b - 1 - j])  # (H, D) each
-        l_new, ams = [], []
-        for ch in range(2):
-            if p1_mode == _P_SCALAR:
-                p1c = p1
-            elif p1_mode == _P_PIXEL:
-                p1c = p1_ref[j, ch][:, None]
-            else:
-                p1c = p1_ref[j, ch]
-            if p2_mode == _P_SCALAR:
-                p2c = p2
-            elif p2_mode == _P_PIXEL:
-                p2c = p2_ref[j, ch][:, None]
-            else:
-                p2c = p2_ref[j, ch]
-            msg = _msg_hd(prev[ch], p1c, p2c)
-            if has_seg:
-                cur = seg_ref[j, ch]  # (H,)
-                msg = msg * (prev_seg[ch] == cur)[:, None].astype(jnp.float32)
-            l = cost2[ch].astype(jnp.float32) + msg
-            l_new.append(l)
-            if track:
-                m = jnp.min(l, axis=1, keepdims=True)
-                iota = jax.lax.broadcasted_iota(jnp.int32, l.shape, 1)
-                ams.append(jnp.min(jnp.where(l == m, iota, d_pad), axis=1)[None, :])
-        prev = l_new
-        if has_seg:
-            prev_seg = [seg_ref[j, 0], seg_ref[j, 1]]
-        out_n_ref[:, j] = l_new[0].astype(out_n_ref.dtype)
-        out_f_ref[:, b - 1 - j] = l_new[1].astype(out_f_ref.dtype)
-        if track:
-            amin_ref[j] = jnp.concatenate(ams, axis=0)
-    for ch in range(2):
+    for ch in range(n_ch):
         carry_ref[ch] = prev[ch]
     if has_seg:
         for grp in range(2):
@@ -259,8 +203,8 @@ def _pad_nd(a: jnp.ndarray, target: Tuple[int, ...], value) -> jnp.ndarray:
 class SgmPartials(NamedTuple):
     """8-path directional sums, normal image orientation.
 
-    row_n/row_f: (H8, D8, W8) DW layout (down-going / up-going triples);
-    col_n/col_f: (H8, W8, D8) HWD layout (left->right / right->left);
+    row_n/row_f: (H8, D8, W8) — down-going / up-going direction triples;
+    col_n/col_f: (W8, D8, H8) — left->right / right->left (transposed);
     amins_row: (H8, 6, W8) i32 per-direction argmins or None;
     amins_col: (W8, 2, H8) i32 or None; hwd: the unpadded (h, w, d)."""
 
@@ -273,14 +217,89 @@ class SgmPartials(NamedTuple):
     hwd: Tuple[int, int, int]
 
 
-def _prep_planes_rows(planes, h8, w8, flip_rows):
-    """(8,H,W)->(H8, 6|2, W8) f32, channels listed by flip_rows pre-flipped
-    along rows AFTER padding (the flipped cost refs walk the padded flip)."""
-    chans = []
-    for i, (ch, flip) in enumerate(flip_rows):
-        p = _pad_nd(planes[ch].astype(jnp.float32), (h8, w8), 0.0)
-        chans.append(p[::-1] if flip else p)
-    return jnp.stack(chans, axis=1)  # (H8, k, W8)
+def _run_pass(
+    cost_ldx: jnp.ndarray,  # (L8, D8, X8) padded volume in scan orientation
+    shifts: Tuple[int, ...],
+    flip_chans,  # [(plane_idx, flipped)] per channel
+    p1,
+    p2,
+    p1_planes,  # (8, L8, X8[, D8]) pre-padded in SCAN orientation or None
+    p2_planes,
+    segments,  # (L8, X8) int32 in scan orientation or None
+    track: bool,
+    out_dtype,
+    interpret: bool,
+):
+    l8, d8, x8 = cost_ldx.shape
+    b = _BLOCK
+    gl = l8 // b
+    n_ch = len(shifts)
+    half = n_ch // 2
+
+    def mode_of(planes):
+        if planes is None:
+            return _P_SCALAR
+        return _P_DISP if planes.ndim == 4 else _P_PIXEL
+
+    p1_mode, p2_mode = mode_of(p1_planes), mode_of(p2_planes)
+    has_seg = segments is not None
+
+    n_spec = pl.BlockSpec((b, d8, x8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((b, d8, x8), lambda g: (gl - 1 - g, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [n_spec, f_spec]
+    args = [cost_ldx, cost_ldx]
+    for planes, mode in ((p1_planes, p1_mode), (p2_planes, p2_mode)):
+        if mode == _P_PIXEL:
+            chans = [
+                planes[pi][::-1] if fl else planes[pi] for pi, fl in flip_chans
+            ]
+            args.append(jnp.stack(chans, axis=1))  # (L8, n_ch, X8)
+            in_specs.append(
+                pl.BlockSpec((b, n_ch, x8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+            )
+        elif mode == _P_DISP:
+            chans = [
+                planes[pi][::-1] if fl else planes[pi] for pi, fl in flip_chans
+            ]
+            args.append(jnp.stack(chans, axis=1))  # (L8, n_ch, D8, X8)
+            in_specs.append(
+                pl.BlockSpec(
+                    (b, n_ch, d8, x8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+                )
+            )
+    if has_seg:
+        args.append(jnp.stack([segments, segments[::-1]], axis=1))  # (L8, 2, X8)
+        in_specs.append(
+            pl.BlockSpec((b, 2, x8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        )
+
+    vol_sds = jax.ShapeDtypeStruct((l8, d8, x8), out_dtype)
+    out_specs = [n_spec, f_spec]
+    out_shape = [vol_sds, vol_sds]
+    if track:
+        am_n_spec = pl.BlockSpec((b, half, x8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        am_f_spec = pl.BlockSpec(
+            (b, half, x8), lambda g: (gl - 1 - g, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_specs += [am_n_spec, am_f_spec]
+        out_shape += [jax.ShapeDtypeStruct((l8, half, x8), jnp.int32)] * 2
+    scratch = [pltpu.VMEM((n_ch, d8, x8), jnp.float32)]
+    if has_seg:
+        scratch.append(pltpu.VMEM((2, x8), jnp.int32))
+
+    outs = pl.pallas_call(
+        partial(_scan_kernel, p1, p2, p1_mode, p2_mode, has_seg, track, shifts),
+        grid=(gl,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(*args)
+    part_n, part_f = outs[0], outs[1]
+    amins = jnp.concatenate([outs[2], outs[3]], axis=1) if track else None
+    return part_n, part_f, amins
 
 
 def sgm_partials_pallas(
@@ -312,140 +331,96 @@ def sgm_partials_pallas(
     h8 = -(-h // b) * b
     w8 = -(-w // 128) * 128
     d8 = -(-d // 16) * 16
-    gr, gc = h8 // b, w8 // b
+    # the col pass transposes rows onto the lane axis: round H up to 128
+    ht = -(-h // 128) * 128
+    wt = -(-w // b) * b
 
-    def mode_of(planes):
+    cost_hwd = _pad_nd(cost, (max(h8, ht), max(w8, wt), d8), _BIG)
+    h8 = ht = max(h8, ht)
+    w8 = wt = max(w8, wt)
+    cost_rdw = jnp.moveaxis(cost_hwd, -1, 1)  # (H8, D8, W8)
+    cost_cdh = cost_hwd.transpose(1, 2, 0)  # (W8, D8, H8)
+
+    def pad_planes(planes, transposed):
+        """(8, H, W[, D]) → (8, L8, X8[, D8→sublane]) in scan orientation."""
         if planes is None:
-            return _P_SCALAR
-        return _P_DISP if planes.ndim == 4 else _P_PIXEL
-
-    p1_mode, p2_mode = mode_of(p1_planes), mode_of(p2_planes)
-    has_seg = segments is not None
-    track = bool(min_cost_paths)
-
-    cost_hwd = _pad_nd(cost, (h8, w8, d8), _BIG)
-    cost_dw = jnp.moveaxis(cost_hwd, -1, 1)  # (H8, D8, W8)
-
-    # ---- row pass: 6 channels, DW layout ---------------------------------
-    n_spec = pl.BlockSpec((b, d8, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((b, d8, w8), lambda g: (gr - 1 - g, 0, 0), memory_space=pltpu.VMEM)
-    row_flips = [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)]
-    in_specs = [n_spec, f_spec]
-    args = [cost_dw, cost_dw]
-    for planes, mode in ((p1_planes, p1_mode), (p2_planes, p2_mode)):
-        if mode == _P_PIXEL:
-            args.append(_prep_planes_rows(planes, h8, w8, row_flips))
-            in_specs.append(
-                pl.BlockSpec((b, 6, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-            )
-        elif mode == _P_DISP:
-            chans = []
-            for ch, flip in row_flips:
-                p = _pad_nd(planes[ch].astype(jnp.float32), (h8, w8, d8), 0.0)
+            return None
+        out = []
+        for ch in range(8):
+            p = planes[ch].astype(jnp.float32)
+            if p.ndim == 2:
+                p = _pad_nd(p, (h8, w8), 0.0)
+                out.append(p.T if transposed else p)
+            else:
+                p = _pad_nd(p, (h8, w8, d8), 0.0)
                 p = jnp.moveaxis(p, -1, 1)  # (H8, D8, W8)
-                chans.append(p[::-1] if flip else p)
-            args.append(jnp.stack(chans, axis=1))  # (H8, 6, D8, W8)
-            in_specs.append(
-                pl.BlockSpec((b, 6, d8, w8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM)
-            )
-    if has_seg:
-        seg = _pad_nd(segments.astype(jnp.int32), (h8, w8), -2)
-        args.append(jnp.stack([seg, seg[::-1]], axis=1))  # (H8, 2, W8)
-        in_specs.append(
-            pl.BlockSpec((b, 2, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-        )
+                out.append(p.transpose(2, 1, 0) if transposed else p)
+        return jnp.stack(out)
 
-    vol_sds = jax.ShapeDtypeStruct((h8, d8, w8), out_dtype)
-    out_specs = [n_spec, f_spec]
-    out_shape = [vol_sds, vol_sds]
-    if track:
-        am_n_spec = pl.BlockSpec((b, 3, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-        am_f_spec = pl.BlockSpec((b, 3, w8), lambda g: (gr - 1 - g, 0, 0), memory_space=pltpu.VMEM)
-        out_specs += [am_n_spec, am_f_spec]
-        out_shape += [jax.ShapeDtypeStruct((h8, 3, w8), jnp.int32)] * 2
-    scratch = [pltpu.VMEM((6, d8, w8), jnp.float32)]
-    if has_seg:
-        scratch.append(pltpu.VMEM((2, w8), jnp.int32))
+    seg_pad = None
+    if segments is not None:
+        seg_pad = _pad_nd(segments.astype(jnp.int32), (h8, w8), -2)
 
-    outs = pl.pallas_call(
-        partial(_row_kernel, p1, p2, p1_mode, p2_mode, has_seg, track),
-        grid=(gr,),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shape),
-        scratch_shapes=scratch,
-        compiler_params=_VMEM_PARAMS,
-        interpret=interpret,
-    )(*args)
-    row_n, row_f = outs[0], outs[1]
-    amins_row = None
-    if track:
-        amins_row = jnp.concatenate([outs[2], outs[3]], axis=1)  # (H8, 6, W8)
+    # ---- row pass: 6 channels on (row, disp, col) -------------------------
+    row_n, row_f, amins_row = _run_pass(
+        cost_rdw,
+        (0, 1, -1, 0, 1, -1),
+        [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)],
+        p1,
+        p2,
+        pad_planes(p1_planes, False),
+        pad_planes(p2_planes, False),
+        seg_pad,
+        min_cost_paths,
+        out_dtype,
+        interpret,
+    )
 
-    # ---- col pass: 2 channels, HWD layout --------------------------------
-    cn_spec = pl.BlockSpec((h8, b, d8), lambda g: (0, g, 0), memory_space=pltpu.VMEM)
-    cf_spec = pl.BlockSpec((h8, b, d8), lambda g: (0, gc - 1 - g, 0), memory_space=pltpu.VMEM)
-    col_flips = [(6, False), (7, True)]
-    cin_specs = [cn_spec, cf_spec]
-    cargs = [cost_hwd, cost_hwd]
-    for planes, mode in ((p1_planes, p1_mode), (p2_planes, p2_mode)):
-        if mode == _P_PIXEL:
-            chans = []
-            for ch, flip in col_flips:
-                p = _pad_nd(planes[ch].astype(jnp.float32), (h8, w8), 0.0)
-                chans.append(p[:, ::-1] if flip else p)
-            cargs.append(jnp.stack(chans, axis=-1).transpose(1, 2, 0))  # (W8, 2, H8)
-            cin_specs.append(
-                pl.BlockSpec((b, 2, h8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-            )
-        elif mode == _P_DISP:
-            chans = []
-            for ch, flip in col_flips:
-                p = _pad_nd(planes[ch].astype(jnp.float32), (h8, w8, d8), 0.0)
-                chans.append(p[:, ::-1] if flip else p)
-            cargs.append(jnp.stack(chans, axis=1).transpose(2, 1, 0, 3))  # (W8,2,H8,D8)
-            cin_specs.append(
-                pl.BlockSpec((b, 2, h8, d8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM)
-            )
-    if has_seg:
-        seg = _pad_nd(segments.astype(jnp.int32), (h8, w8), -2)
-        cargs.append(jnp.stack([seg, seg[:, ::-1]], axis=-1).transpose(1, 2, 0))
-        cin_specs.append(
-            pl.BlockSpec((b, 2, h8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-        )
-
-    cvol_sds = jax.ShapeDtypeStruct((h8, w8, d8), out_dtype)
-    cout_specs = [cn_spec, cf_spec]
-    cout_shape = [cvol_sds, cvol_sds]
-    if track:
-        cam_spec = pl.BlockSpec((b, 2, h8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-        cout_specs.append(cam_spec)
-        cout_shape.append(jax.ShapeDtypeStruct((w8, 2, h8), jnp.int32))
-    cscratch = [pltpu.VMEM((2, h8, d8), jnp.float32)]
-    if has_seg:
-        cscratch.append(pltpu.VMEM((2, h8), jnp.int32))
-
-    couts = pl.pallas_call(
-        partial(_col_kernel, p1, p2, p1_mode, p2_mode, has_seg, track),
-        grid=(gc,),
-        in_specs=cin_specs,
-        out_specs=tuple(cout_specs),
-        out_shape=tuple(cout_shape),
-        scratch_shapes=cscratch,
-        compiler_params=_VMEM_PARAMS,
-        interpret=interpret,
-    )(*cargs)
-    col_n, col_f = couts[0], couts[1]
-    amins_col = couts[2] if track else None
-
-    # amins of the flipped col channel were written at flipped positions
-    # along W by cam_spec?  No: cam_spec indexes block g for both channels;
-    # channel 1's value for flipped col g*B+j was stored at [j, 1] — i.e.
-    # at FLIPPED w.  Restore normal orientation for channel 1.
-    if track:
-        amins_col = jnp.stack([amins_col[:, 0], amins_col[::-1, 1]], axis=1)
+    # ---- col pass: 2 channels on the transposed (col, disp, row) ----------
+    col_n, col_f, amins_col = _run_pass(
+        cost_cdh,
+        (0, 0),
+        [(6, False), (7, True)],
+        p1,
+        p2,
+        pad_planes(p1_planes, True),
+        pad_planes(p2_planes, True),
+        seg_pad.T if seg_pad is not None else None,
+        min_cost_paths,
+        out_dtype,
+        interpret,
+    )
 
     return SgmPartials(row_n, row_f, col_n, col_f, amins_row, amins_col, (h, w, d))
+
+
+def sgm_partials_from_layouts(
+    cost_rdw: jnp.ndarray,
+    cost_cdh: jnp.ndarray,
+    hwd: Tuple[int, int, int],
+    p1: float,
+    p2: float,
+    out_dtype: jnp.dtype = jnp.float32,
+    interpret: bool = False,
+) -> SgmPartials:
+    """Partials from PRE-PADDED scan-layout volumes (constant penalties).
+
+    ``cost_rdw`` is (H8, D8, W8) and ``cost_cdh`` (W8, D8, H8), produced
+    directly by the matching-cost stage (census_cost_volume_scan_layouts)
+    so no intra-tile volume transpose is ever materialized.  Any dtype —
+    uint8 volumes with the 255 sentinel quarter the HBM traffic of f32;
+    the kernels cast to f32 on load.  Padding must already hold the
+    caller's invalid sentinel."""
+    flips_row = [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)]
+    row_n, row_f, _ = _run_pass(
+        cost_rdw, (0, 1, -1, 0, 1, -1), flips_row, p1, p2,
+        None, None, None, False, out_dtype, interpret,
+    )
+    col_n, col_f, _ = _run_pass(
+        cost_cdh, (0, 0), [(6, False), (7, True)], p1, p2,
+        None, None, None, False, out_dtype, interpret,
+    )
+    return SgmPartials(row_n, row_f, col_n, col_f, None, None, tuple(hwd))
 
 
 def sgm_aggregate_pallas(
@@ -466,7 +441,8 @@ def sgm_aggregate_pallas(
         cost, p1, p2, p1_planes, p2_planes, segments, min_cost_paths, interpret=interpret
     )
     rows = jnp.moveaxis(parts.row_n + parts.row_f, 1, -1)  # (H8, W8, D8)
-    total = (rows + parts.col_n + parts.col_f)[:h, :w, :d]
+    cols = (parts.col_n + parts.col_f).transpose(2, 0, 1)  # (H8, W8, D8)
+    total = (rows + cols)[:h, :w, :d]
 
     nb_dirs = None
     if min_cost_paths:
@@ -480,8 +456,8 @@ def sgm_aggregate_pallas(
 
 
 def _finish_kernel(n_disp, d_pad, threshold, *refs):
-    """Grid step: total = row_n + row_f + colsum on (B, D, W) DW tiles,
-    then WTA + vfit-triplet extraction in VMEM — the total volume never
+    """Grid step: total = row_n + row_f + colsum on (B, D, W) tiles, then
+    WTA + vfit-triplet extraction in VMEM — the total volume never
     reaches HBM.
 
     refs: rn, rf, cs (B, D, W) -> idx (B, W) f32, c0, c1, c2 (B, W).
@@ -507,7 +483,8 @@ def _finish_kernel(n_disp, d_pad, threshold, *refs):
     all_inv = m[:, 0] >= _BIG * 0.5
     idx_ref[...] = idx.astype(jnp.float32)
     c0_ref[...] = sel(ic - 1)
-    c1_ref[...] = jnp.where(all_inv, jnp.nan, sel(idx[:, None, :]))
+    # the cost AT the argmin is the minimum itself — no gather needed
+    c1_ref[...] = jnp.where(all_inv, jnp.nan, m[:, 0])
     c2_ref[...] = sel(ic + 1)
 
 
@@ -519,10 +496,13 @@ def combine_wta_pallas(parts: SgmPartials, threshold, interpret: bool = False):
     the wta() all-NaN convention)."""
     h, w, d = parts.hwd
     h8, d8, w8 = parts.row_n.shape
-    # one cheap XLA fused add+transpose brings the col partials into DW
-    colsum = jnp.moveaxis(
-        parts.col_n.astype(jnp.float32) + parts.col_f.astype(jnp.float32), -1, 1
-    ).astype(parts.row_n.dtype)
+    # one cheap XLA fused add+transpose brings the col partials into the
+    # row orientation: (W8, D8, H8) -> (H8, D8, W8)
+    colsum = (
+        (parts.col_n.astype(jnp.float32) + parts.col_f.astype(jnp.float32))
+        .transpose(2, 1, 0)
+        .astype(parts.row_n.dtype)
+    )
     b = _BLOCK
     gr = h8 // b
     vol_spec = pl.BlockSpec((b, d8, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
@@ -546,23 +526,23 @@ def pallas_supported(
 ) -> bool:
     """Whether the Pallas fast path covers this configuration.
 
-    Since the DW-layout rewrite this is every plugin_libsgm.rst:95-330
-    configuration row — per-pixel and per-(pixel, disp) P1/P2, 3SGM
-    segments and min_cost_paths included.  The only remaining gates are
-    VMEM capacity for the recurrence carries and (for per-direction
-    CONSTANT planes) value uniformity, since the kernel closure takes one
-    scalar per penalty."""
+    Since the (line, disp, cross) rewrite this is every
+    plugin_libsgm.rst:95-330 configuration row — per-pixel and
+    per-(pixel, disp) P1/P2, 3SGM segments and min_cost_paths included.
+    The only remaining gates are VMEM capacity for the recurrence carries
+    (and per-direction CONSTANT planes, which ride the scalar closure via
+    the caller's p1_const/p2_const instead)."""
     h, w, d = cost_shape
-    w8 = -(-w // 128) * 128
-    h8 = -(-h // _BLOCK) * _BLOCK
+    w8 = max(-(-w // 128) * 128, -(-w // _BLOCK) * _BLOCK)
+    h8 = max(-(-h // 128) * 128, -(-h // _BLOCK) * _BLOCK)
     d8 = -(-d // 16) * 16
     # VMEM: carries + a few double-buffered blocks must fit
     if 6 * d8 * w8 * 4 > 48 * 1024 * 1024:
         return False
-    if 2 * h8 * d8 * 4 > 48 * 1024 * 1024:
+    if 2 * d8 * h8 * 4 > 48 * 1024 * 1024:
         return False
     if p1_planes is not None and p1_planes.ndim == 4 and p2_planes is not None and p2_planes.ndim == 4:
         # per-disp penalty blocks: 2 penalties x (B, 6, D8, W8) double-buffered
-        if 2 * 2 * _BLOCK * 6 * d8 * w8 * 4 > 80 * 1024 * 1024:
+        if 2 * 2 * _BLOCK * 6 * d8 * max(w8, h8) * 4 > 80 * 1024 * 1024:
             return False
     return True

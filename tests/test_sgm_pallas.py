@@ -160,7 +160,8 @@ def test_combine_wta_matches_separate_epilogue():
     idx, c0, c1, c2 = combine_wta_pallas(parts, 5.0e6, interpret=True)
 
     rows = jnp.moveaxis(parts.row_n + parts.row_f, 1, -1)
-    total = (rows + parts.col_n + parts.col_f)[:h, :w, :d]
+    cols = (parts.col_n + parts.col_f).transpose(2, 0, 1)
+    total = (rows + cols)[:h, :w, :d]
     total = jnp.where(jnp.isnan(jnp.asarray(cv)), jnp.nan, total)
     dv = jnp.arange(-(d - 1), 1, dtype=jnp.float32)
     disp_ref, vmask_ref, _ = wta(total, dv, "min", jnp.nan, None)
@@ -229,7 +230,75 @@ def test_bf16_partials_bit_exact_for_integer_costs():
     for a, b in (
         (f32.row_n[:h, :d, :w], b16.row_n[:h, :d, :w]),
         (f32.row_f[:h, :d, :w], b16.row_f[:h, :d, :w]),
-        (f32.col_n[:h, :w, :d], b16.col_n[:h, :w, :d]),
-        (f32.col_f[:h, :w, :d], b16.col_f[:h, :w, :d]),
+        (f32.col_n[:w, :d, :h], b16.col_n[:w, :d, :h]),
+        (f32.col_f[:w, :d, :h], b16.col_f[:w, :d, :h]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b, np.float32))
+
+
+def test_census_scan_layouts_match_hwd_volume():
+    """census_cost_volume_scan_layouts == census_cost_volume re-laid-out,
+    with the uint8 sentinel where the reference never writes a cost."""
+    from pandora_tpu.ops.census import (
+        U8_INVALID,
+        census_cost_volume,
+        census_cost_volume_scan_layouts,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w = 21, 33
+    left = jnp.asarray(rng.random((h, w), np.float32) * 255)
+    right = jnp.asarray(rng.random((h, w), np.float32) * 255)
+    for subpix in (1, 2):
+        d0, d1 = -7, 0
+        nd = (d1 - d0) * subpix + 1
+        cv = np.asarray(census_cost_volume(left, right, d0, d1, subpix, 5))
+        rdw, cdh, hwd = census_cost_volume_scan_layouts(
+            left, right, d0, d1, subpix, 5, jnp.uint8
+        )
+        assert hwd == (h, w, nd)
+        got_rdw = np.asarray(rdw)[:h, :nd, :w]
+        got_cdh = np.asarray(cdh)[:w, :nd, :h]
+        want = np.where(np.isnan(cv), U8_INVALID, cv).astype(np.uint8)
+        np.testing.assert_array_equal(got_rdw, np.moveaxis(want, 2, 1))
+        np.testing.assert_array_equal(got_cdh, want.transpose(1, 2, 0))
+        # padding holds the sentinel
+        assert (np.asarray(rdw)[h:] == U8_INVALID).all()
+        assert (np.asarray(rdw)[:, nd:] == U8_INVALID).all()
+        assert (np.asarray(cdh)[w:] == U8_INVALID).all()
+
+
+def test_u8_layout_path_matches_f32_path():
+    """uint8 scan-layout SGM+WTA == the f32 super-cost path (interpret)."""
+    from pandora_tpu.fused import _SUPER, _THRESH, _U8_THRESH
+    from pandora_tpu.ops.census import census_cost_volume, census_cost_volume_scan_layouts
+    from pandora_tpu.ops.sgm_pallas import (
+        combine_wta_pallas,
+        sgm_partials_from_layouts,
+        sgm_partials_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    h, w = 19, 27
+    left = jnp.asarray(rng.random((h, w), np.float32) * 255)
+    right = jnp.asarray(rng.random((h, w), np.float32) * 255)
+    d0, d1 = -6, 0
+
+    # f32 reference path
+    cv = census_cost_volume(left, right, d0, d1, 1, 5)
+    work = jnp.where(jnp.isnan(cv), _SUPER, cv)
+    parts_f = sgm_partials_pallas(work, 8.0, 32.0, interpret=True)
+    ref = combine_wta_pallas(parts_f, _THRESH, interpret=True)
+
+    # u8 layouts path
+    rdw, cdh, hwd = census_cost_volume_scan_layouts(left, right, d0, d1, 1, 5, jnp.uint8)
+    parts_u = sgm_partials_from_layouts(rdw, cdh, hwd, 8.0, 32.0, interpret=True)
+    got = combine_wta_pallas(parts_u, _U8_THRESH, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    for g, r in zip(got[1:], ref[1:]):
+        g, r = np.asarray(g), np.asarray(r)
+        both_nan = np.isnan(g) & np.isnan(r)
+        np.testing.assert_allclose(
+            np.where(both_nan, 0, g), np.where(both_nan, 0, r), atol=1e-4
+        )
