@@ -177,3 +177,40 @@ def normalize_with_percentile(amb: jnp.ndarray, percentile: float = 1.0) -> jnp.
     mn = jnp.min(clipped)
     mx = jnp.max(clipped)
     return (clipped - mn) / (mx - mn)
+
+
+def normalize_with_percentile_collective(
+    amb: jnp.ndarray,
+    spatial_axes,
+    halo_rc,
+    percentile: float = 1.0,
+) -> jnp.ndarray:
+    """Cross-tile percentile normalization inside a ``shard_map`` program.
+
+    A per-tile percentile would make each tile's confidence scale depend on
+    its own content (the exact tiling hazard the reference's
+    ``global_disparity`` attribute exists to avoid).  Here the percentile is
+    computed over the SCENE: every shard crops its halo-free interior,
+    ``all_gather``s the (small, map-sized) interiors over the mesh's spatial
+    axes, and evaluates the same global percentile — so all tiles normalize
+    by identical scalars and the local values are then rescaled in place.
+
+    ``spatial_axes`` are mesh axis names ordered (row_axis?, col_axis);
+    ``halo_rc`` is the (row, col) halo width of the extended shard."""
+    import jax
+
+    rh, ch = halo_rc
+    interior = amb[rh : amb.shape[0] - rh if rh else None, ch : amb.shape[1] - ch if ch else None]
+    full = interior
+    if len(spatial_axes) == 2:
+        full = jax.lax.all_gather(full, spatial_axes[0], axis=0, tiled=True)
+        full = jax.lax.all_gather(full, spatial_axes[1], axis=1, tiled=True)
+    else:
+        full = jax.lax.all_gather(full, spatial_axes[0], axis=1, tiled=True)
+    lo = jnp.percentile(full, percentile)
+    hi = jnp.percentile(full, 100.0 - percentile)
+    clipped = jnp.clip(amb, lo, hi)
+    full_c = jnp.clip(full, lo, hi)
+    mn = jnp.min(full_c)
+    mx = jnp.max(full_c)
+    return (clipped - mn) / (mx - mn)

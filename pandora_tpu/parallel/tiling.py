@@ -54,8 +54,8 @@ def _exchange_halo(x: jnp.ndarray, halo: int, axis: int, axis_name: str) -> jnp.
     # receive from the lower neighbor its high edge, and vice versa
     from_lo = jax.lax.ppermute(hi_edge, axis_name, [(i, i + 1) for i in range(n - 1)])
     from_hi = jax.lax.ppermute(lo_edge, axis_name, [(i + 1, i) for i in range(n - 1)])
-    from_lo = jnp.where(idx == 0, 0.0, from_lo)
-    from_hi = jnp.where(idx == n - 1, 0.0, from_hi)
+    from_lo = jnp.where(idx == 0, jnp.zeros_like(from_lo), from_lo)
+    from_hi = jnp.where(idx == n - 1, jnp.zeros_like(from_hi), from_hi)
     return jnp.concatenate([from_lo, x, from_hi], axis=axis)
 
 

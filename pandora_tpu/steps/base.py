@@ -114,6 +114,20 @@ class PipelineState:
     dmax_user: float = 0.0
     dmin_user_right: float = 0.0
     dmax_user_right: float = 0.0
+    # --- tiled (shard_map) execution context --------------------------------
+    # preset static extrema/cmax: the tiled runner computes them on the host
+    # BEFORE sharding (disparity_extrema/_cmax device_get arrays, which is
+    # illegal under a shard_map trace)
+    extrema_preset: bool = False
+    cmax_left: Optional[float] = None
+    cmax_right: Optional[float] = None
+    # mesh spatial axis names when running inside shard_map (() = unsharded);
+    # steps needing cross-tile reductions (e.g. ambiguity percentile
+    # normalization) use these with lax collectives
+    spatial_axes: tuple = ()
+    # (row_halo, col_halo) of the extended shard — lets collective steps crop
+    # their local interior before gathering
+    halo_rc: tuple = (0, 0)
 
     def require_cv(self) -> CostVolume:
         if self.left_cv is None:

@@ -99,6 +99,13 @@ class AmbiguityConfidence(ConfidenceBase):
                 # cost_volume_confidence.py:107-139)
                 max_norm = (gd[1] - gd[0]) * len(etas) * cv.subpixel
                 amb = amb / max_norm
+            elif state.spatial_axes:
+                # sharded program without a global_disparity attr: the
+                # percentile itself becomes a cross-tile collective so every
+                # tile normalizes by the same scene-wide scalars
+                amb = conf_ops.normalize_with_percentile_collective(
+                    amb, state.spatial_axes, state.halo_rc
+                )
             else:
                 amb = conf_ops.normalize_with_percentile(amb)
         confidence = 1.0 - amb

@@ -144,7 +144,14 @@ class MatchingCostBase(Step):
     def _cmax(self, left: np.ndarray, right: np.ndarray) -> float:
         raise NotImplementedError
 
-    def compute(self, left_img: Image, right_img: Image, dmin: int, dmax: int) -> CostVolume:
+    def compute(
+        self,
+        left_img: Image,
+        right_img: Image,
+        dmin: int,
+        dmax: int,
+        cmax: Optional[float] = None,
+    ) -> CostVolume:
         band = self.cfg["band"]
         left_im = left_img.band(band)
         right_im = right_img.band(band)
@@ -180,7 +187,7 @@ class MatchingCostBase(Step):
             offset_row_col=(self.cfg["window_size"] - 1) // 2,
             measure=self.method,
             type_measure=self._type_measure,
-            cmax=self._cmax(left_im, right_im),
+            cmax=self._cmax(left_im, right_im) if cmax is None else cmax,
             band_correl=band,
         )
 
@@ -195,14 +202,22 @@ class MatchingCostBase(Step):
             if state.right_img.disp_min is not None:
                 state.right_img.disp_min = state.right_img.disp_min * sf
                 state.right_img.disp_max = state.right_img.disp_max * sf
-        state.dmin, state.dmax = disparity_extrema(state.left_img)
-        state.left_cv = self.compute(state.left_img, state.right_img, state.dmin, state.dmax)
+        if not state.extrema_preset:
+            state.dmin, state.dmax = disparity_extrema(state.left_img)
+        state.left_cv = self.compute(
+            state.left_img, state.right_img, state.dmin, state.dmax, state.cmax_left
+        )
         if state.right_disp_map == "accurate":
             if state.right_img.disp_min is None:
                 raise ValueError("accurate cross-checking requires a right disparity range")
-            state.dmin_right, state.dmax_right = disparity_extrema(state.right_img)
+            if not state.extrema_preset:
+                state.dmin_right, state.dmax_right = disparity_extrema(state.right_img)
             state.right_cv = self.compute(
-                state.right_img, state.left_img, state.dmin_right, state.dmax_right
+                state.right_img,
+                state.left_img,
+                state.dmin_right,
+                state.dmax_right,
+                state.cmax_right,
             )
 
 
