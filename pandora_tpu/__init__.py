@@ -10,7 +10,14 @@ device meshes with disparity-aware halo exchange.
 __version__ = "0.1.0"
 
 from . import constants  # noqa: F401
-from .api import check_datasets, main, run, images_from_config  # noqa: F401
+from .api import (  # noqa: F401
+    check_datasets,
+    create_image_from_inputs,
+    get_metadata,
+    images_from_config,
+    main,
+    run,
+)
 from .config import check_conf, read_config_file  # noqa: F401
 from .datamodel import CostVolume, DisparityMap, Image, make_image  # noqa: F401
 from .margins import GlobalMargins, Margins  # noqa: F401

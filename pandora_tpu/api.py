@@ -30,18 +30,62 @@ def setup_logging(verbose: bool) -> None:
     )
 
 
-def create_image_from_inputs(img_cfg: Dict[str, Any], disp) -> Image:
-    """create_dataset_from_inputs equivalent (img_tools.py:345-437)."""
+def get_metadata(
+    img: str,
+    disparity=None,
+    classif: Optional[str] = None,
+    segm: Optional[str] = None,
+    edges: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Header-only image metadata — no pixel decode (reference
+    img_tools.get_metadata, img_tools.py:440-476): shape, band names and
+    the disparity source, for config checking and tiling planners."""
+    from .io.raster import read_raster_header
+
+    header = read_raster_header(img)
+    bands = header["band_names"]
+    if bands is None and header["count"] > 1:
+        bands = tuple(f"band_{i}" for i in range(header["count"]))
+    meta: Dict[str, Any] = {
+        "width": header["width"],
+        "height": header["height"],
+        "band_im": bands,
+        "transform": header["transform"],
+        "crs": header["crs"],
+        "disparity_source": disparity,
+    }
+    if isinstance(disparity, str):
+        gh = read_raster_header(disparity)
+        meta["disparity_grid_shape"] = (gh["count"], gh["height"], gh["width"])
+    for key, path in (("classif", classif), ("segm", segm), ("edges", edges)):
+        if path is not None:
+            h = read_raster_header(path)
+            meta[f"band_{key}"] = h["band_names"] or tuple(
+                f"band_{i}" for i in range(h["count"])
+            )
+    return meta
+
+
+def create_image_from_inputs(img_cfg: Dict[str, Any], disp, roi: Optional[Dict[str, Any]] = None) -> Image:
+    """create_dataset_from_inputs equivalent (img_tools.py:345-437); an
+    optional ``roi`` ({"col": {first,last}, "row": {first,last}, "margins"})
+    windows every raster read (img_tools.get_window, :61-98)."""
+    window = None
+    if roi is not None:
+        from .io.raster import get_window, read_raster_header
+
+        header = read_raster_header(img_cfg["img"])
+        window = get_window(roi, header["width"], header["height"])
     data, msk, transform, crs, band_names = read_image_input(
-        img_cfg["img"], img_cfg.get("nodata", -9999), img_cfg.get("mask")
+        img_cfg["img"], img_cfg.get("nodata", -9999), img_cfg.get("mask"), window=window
     )
     extras = {}
     for key in ("classif", "segm", "edges"):
         if img_cfg.get(key):
-            arr, *_ = read_raster(img_cfg[key])
+            arr, *_ = read_raster(img_cfg[key], window=window)
             extras[key] = arr[0] if key != "classif" else arr
     if isinstance(disp, str):
-        grid, *_ = read_raster(disp)
+        grid, *_ = read_raster(disp, window=window)
         disp = grid  # (2, row, col)
     if band_names is None:
         band_names = (
@@ -74,10 +118,12 @@ def check_datasets(left: Image, right: Image) -> None:
                 raise AttributeError(f"{layer} shape {arr.shape} != image shape {shape}")
 
 
-def images_from_config(cfg_input: Dict[str, Any]) -> Tuple[Image, Image]:
-    left = create_image_from_inputs(cfg_input["left"], cfg_input["left"]["disp"])
+def images_from_config(
+    cfg_input: Dict[str, Any], roi: Optional[Dict[str, Any]] = None
+) -> Tuple[Image, Image]:
+    left = create_image_from_inputs(cfg_input["left"], cfg_input["left"]["disp"], roi=roi)
     right_disp = cfg_input["right"]["disp"]
-    right = create_image_from_inputs(cfg_input["right"], right_disp)
+    right = create_image_from_inputs(cfg_input["right"], right_disp, roi=roi)
     if right.disp_min is None and left.disp_min is not None:
         # default right range = -reversed left (pandora/__init__.py:184-185)
         right.disp_min = -left.disp_max
@@ -109,16 +155,18 @@ def main(cfg_path: str, output: str, verbose: bool = False) -> None:
     """Config-file driver (reference main, __init__.py:151-202)."""
     setup_logging(verbose)
     user_cfg = read_config_file(cfg_path)
-    cfg, pipeline = check_conf(user_cfg)
-    Profiler.enable_from_config(cfg)
-    # resolve relative image paths against the config file directory
+    # resolve relative image paths against the config file directory BEFORE
+    # validation, so the header-level image checks can open them
     base = os.path.dirname(os.path.abspath(cfg_path))
     for side in ("left", "right"):
+        side_cfg = user_cfg.get("input", {}).get(side, {})
         for key in ("img", "mask", "classif", "segm", "edges", "disp"):
-            v = cfg["input"][side].get(key)
+            v = side_cfg.get(key)
             if isinstance(v, str) and not os.path.isabs(v):
-                cfg["input"][side][key] = os.path.join(base, v)
-    left_img, right_img = images_from_config(cfg["input"])
+                side_cfg[key] = os.path.join(base, v)
+    cfg, pipeline = check_conf(user_cfg)
+    Profiler.enable_from_config(cfg)
+    left_img, right_img = images_from_config(cfg["input"], roi=cfg.get("ROI"))
     check_datasets(left_img, right_img)
     left_disp, right_disp, _ = run(pipeline, left_img, right_img)
     common.save_results(left_disp, right_disp, output)

@@ -96,9 +96,102 @@ def check_input_section(user_input: Dict[str, Any]) -> Dict[str, Any]:
     return cfg
 
 
+# --- image-level checks (check_configuration.py:170-297) -------------------
+
+
+def check_image_dimension(h1: Dict[str, Any], h2: Dict[str, Any]) -> None:
+    """Two raster headers must agree on width/height
+    (check_configuration.check_image_dimension, :171-182)."""
+    if h1["width"] != h2["width"] or h1["height"] != h2["height"]:
+        raise AttributeError("Images must have the same size")
+
+
+def check_images(cfg_input: Dict[str, Any]) -> None:
+    """Header-only dimension coherence of every configured raster
+    (check_configuration.check_images, :184-205): left/right images equal,
+    and each auxiliary layer (mask/classif/segm/edges) matches its image."""
+    from .io.raster import read_raster_header
+
+    left = read_raster_header(cfg_input["left"]["img"])
+    right = read_raster_header(cfg_input["right"]["img"])
+    check_image_dimension(left, right)
+    for side, ref in (("left", left), ("right", right)):
+        for layer in ("mask", "classif", "segm", "edges"):
+            path = cfg_input[side].get(layer)
+            if path is not None:
+                check_image_dimension(ref, read_raster_header(path))
+
+
+def check_band_names(band_names) -> None:
+    """Band names must be strings (check_configuration.check_band_names,
+    :207-218)."""
+    if band_names is not None and not all(isinstance(b, str) for b in band_names):
+        raise TypeError("Band value must be str")
+
+
+def check_disparity_ranges_are_inside_image(disparity, width: int) -> None:
+    """The search range must intersect the image columns
+    (check_configuration.check_disparity_ranges_are_inside_image, :220-231)."""
+    if np.abs(np.asarray(disparity)).min() > width:
+        raise ValueError("Disparity range out of image")
+
+
+def check_disparities_from_input(disparity, img_left: Optional[str]) -> None:
+    """Disparity/image coherence (check_configuration.
+    check_disparities_from_input, :233-272): int pairs must be ordered and
+    inside the image; grid rasters must be 2-band, image-sized, with
+    min <= max everywhere."""
+    from .io.raster import read_raster, read_raster_header
+
+    if isinstance(disparity, (list, tuple)):
+        if disparity[1] < disparity[0]:
+            raise ValueError("disp_max must be bigger than disp_min")
+        if img_left is not None:
+            check_disparity_ranges_are_inside_image(
+                disparity, read_raster_header(img_left)["width"]
+            )
+    elif isinstance(disparity, str):
+        header = read_raster_header(img_left)
+        grid_header = read_raster_header(disparity)
+        if grid_header["count"] != 2:
+            raise AttributeError("Disparity grids must be a 2-channel grid")
+        if grid_header["width"] != header["width"] or grid_header["height"] != header["height"]:
+            raise AttributeError("Disparity grids and image must have the same size")
+        grid, *_ = read_raster(disparity)
+        if (grid[0] > grid[1]).any():
+            raise ValueError("disp_max must be bigger than disp_min")
+        check_disparity_ranges_are_inside_image(
+            [grid[0].min(), grid[1].max()], header["width"]
+        )
+
+
+ROI_SCHEMA = {
+    "col": {"first": And(int, lambda v: v >= 0), "last": And(int, lambda v: v >= 0)},
+    "row": {"first": And(int, lambda v: v >= 0), "last": And(int, lambda v: v >= 0)},
+    "margins": lambda v: v is None
+    or (isinstance(v, (list, tuple)) and len(v) == 4 and all(isinstance(m, int) for m in v)),
+}
+
+
+def check_roi_section(roi: Dict[str, Any]) -> Dict[str, Any]:
+    """Validate the optional ``ROI`` config section (windowed processing,
+    the reference's CARS entry point img_tools.get_window, :61-98)."""
+    roi = dict(roi)
+    roi.setdefault("margins", [0, 0, 0, 0])
+    validate(ROI_SCHEMA, roi)
+    if roi["col"]["first"] > roi["col"]["last"] or roi["row"]["first"] > roi["row"]["last"]:
+        raise SchemaError("ROI: 'first' must be <= 'last'")
+    return roi
+
+
 def check_conf(user_cfg: Dict[str, Any]) -> Tuple[Dict[str, Any], "Pipeline"]:
     """Full two-phase validation; returns (validated config with defaults,
-    built Pipeline)."""
+    built Pipeline).  When the configured rasters exist on disk the
+    header-level image/disparity coherence checks run too (the reference
+    always opens them, check_configuration.py:450-473; here schema-only
+    validation of an in-memory config stays possible)."""
+    import os
+
     from .pipeline import Pipeline
 
     if "input" not in user_cfg:
@@ -106,11 +199,21 @@ def check_conf(user_cfg: Dict[str, Any]) -> Tuple[Dict[str, Any], "Pipeline"]:
     if "pipeline" not in user_cfg:
         raise SchemaError("missing 'pipeline' section")
     cfg_input = check_input_section(user_cfg["input"])
+    if os.path.isfile(cfg_input["left"]["img"]) and os.path.isfile(cfg_input["right"]["img"]):
+        check_images(cfg_input)
+        check_disparities_from_input(cfg_input["left"]["disp"], cfg_input["left"]["img"])
+        check_disparities_from_input(cfg_input["right"]["disp"], cfg_input["right"]["img"])
+        from .io.raster import read_raster_header
+
+        check_band_names(read_raster_header(cfg_input["left"]["img"])["band_names"])
+        check_band_names(read_raster_header(cfg_input["right"]["img"])["band_names"])
     pipeline = Pipeline(user_cfg["pipeline"])
     out = {
         "input": cfg_input,
         "pipeline": pipeline.validated_cfg,
     }
+    if "ROI" in user_cfg:
+        out["ROI"] = check_roi_section(user_cfg["ROI"])
     if "profiling" in user_cfg:
         out["profiling"] = user_cfg["profiling"]
     return out, pipeline

@@ -202,6 +202,40 @@ def _gdal_band_names(xml: Optional[str], n_bands: int) -> Optional[Tuple[str, ..
     return tuple(names.get(i, f"band_{i}") for i in range(n_bands))
 
 
+def _tiff_header_tags(path: str) -> Optional[dict]:
+    """Seek-based TIFF tag parse — reads only the IFD + external tag
+    payloads, never the pixel strips (header-only ingestion for rasters
+    PIL rejects, e.g. planar multi-band float grids)."""
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+        if len(head) < 8 or head[:2] not in (b"II", b"MM"):
+            return None
+        bo = "<" if head[:2] == b"II" else ">"
+        if struct.unpack(bo + "H", head[2:4])[0] != 42:
+            return None
+        fh.seek(struct.unpack(bo + "I", head[4:8])[0])
+        n = struct.unpack(bo + "H", fh.read(2))[0]
+        raw_entries = fh.read(12 * n)
+        tags = {}
+        for i in range(n):
+            ent = raw_entries[12 * i : 12 * i + 12]
+            tag, typ, cnt = struct.unpack(bo + "HHI", ent[:8])
+            size = _TYPE_SIZES.get(typ, 1) * cnt
+            if size > 4:
+                fh.seek(struct.unpack(bo + "I", ent[8:12])[0])
+                payload = fh.read(size)
+            else:
+                payload = ent[8 : 8 + size]
+            if typ == 2:
+                tags[tag] = payload.rstrip(b"\x00").decode("latin1")
+            elif typ in _TYPE_FMT:
+                tags[tag] = struct.unpack(bo + str(cnt) + _TYPE_FMT[typ], payload)
+            elif typ == 5:  # rational
+                v = struct.unpack(bo + str(2 * cnt) + "I", payload)
+                tags[tag] = tuple(v[2 * k] / max(v[2 * k + 1], 1) for k in range(cnt))
+    return tags
+
+
 def read_raster_header(path: str) -> Dict[str, object]:
     """Header-only raster metadata — no pixel decode (the reference's
     rasterio_open header usage, check_configuration.py:170-205 and
@@ -209,6 +243,25 @@ def read_raster_header(path: str) -> Dict[str, object]:
 
     :return: dict(width, height, count, band_names, transform, crs, nodata)
     """
+    if path.lower().endswith((".tif", ".tiff")):
+        tags = _tiff_header_tags(path)
+        if tags is not None and _T_WIDTH in tags and _T_HEIGHT in tags:
+            count = tags.get(_T_SAMPLESPERPIXEL, (1,))[0]
+            nodata = None
+            if _T_GDAL_NODATA in tags:
+                try:
+                    nodata = float(str(tags[_T_GDAL_NODATA]).strip("\x00 "))
+                except ValueError:
+                    nodata = None
+            return {
+                "width": int(tags[_T_WIDTH][0]),
+                "height": int(tags[_T_HEIGHT][0]),
+                "count": int(count),
+                "band_names": _gdal_band_names(tags.get(_T_GDAL_METADATA), count),
+                "transform": _tags_geo_transform(tags),
+                "crs": str(tags[_T_GEOASCIIPARAMS]) if _T_GEOASCIIPARAMS in tags else None,
+                "nodata": nodata,
+            }
     img = PILImage.open(path)  # lazy: PIL decodes pixels only on access
     width, height = img.size
     count = getattr(img, "n_frames", 1)
@@ -239,6 +292,26 @@ def read_raster_header(path: str) -> Dict[str, object]:
         "crs": crs,
         "nodata": nodata,
     }
+
+
+def get_window(roi: Dict, width: int, height: int) -> Tuple[int, int, int, int]:
+    """ROI + margins → clamped read window ``(row_off, col_off, n_rows,
+    n_cols)`` (reference img_tools.get_window, img_tools.py:61-98).
+
+    ``roi`` = {"col": {"first", "last"}, "row": {"first", "last"},
+    "margins": [left, up, right, down]} — first/last are inclusive pixel
+    indices of the region of interest; margins extend the window so
+    stencil steps see real context, clamped to the image."""
+    margins = roi.get("margins", (0, 0, 0, 0))
+    col_off = max(roi["col"]["first"] - margins[0], 0)
+    row_off = max(roi["row"]["first"] - margins[1], 0)
+    roi_width = roi["col"]["last"] - col_off + margins[2] + 1
+    roi_height = roi["row"]["last"] - row_off + margins[3] + 1
+    if col_off > width or row_off > height or col_off + roi_width < 0 or row_off + roi_height < 0:
+        raise ValueError("Roi specified is outside the image")
+    roi_width = min(roi_width, width - col_off)
+    roi_height = min(roi_height, height - row_off)
+    return row_off, col_off, roi_height, roi_width
 
 
 def read_raster(path: str, window: Optional[Tuple[int, int, int, int]] = None):
