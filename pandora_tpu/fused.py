@@ -28,6 +28,8 @@ from .ops.wta import wta
 def stereo_pipeline(
     left: jnp.ndarray,
     right: jnp.ndarray,
+    left_msk: Optional[jnp.ndarray] = None,
+    right_msk: Optional[jnp.ndarray] = None,
     *,
     dmin: int,
     dmax: int,
@@ -41,11 +43,29 @@ def stereo_pipeline(
     median_size: int = 0,
     sgm_fused_epilogue: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full stereo step as a pure function: (left, right) → (disparity,
-    validity_mask).  All config is static.
+    """Full stereo step as a pure function: (left, right[, masks]) →
+    (disparity, validity_mask).  All config is static.
+
+    The validity mask carries the FULL criteria bitmask (border bit 0,
+    right-range bits 1/2, input-mask bits 6/7 when masks are given,
+    criteria.validity_mask + mask_border) merged with the WTA/refinement
+    bits — same 13-bit product as the modular Pipeline.
 
     ``sgm_fused_epilogue=False`` forces the materializing Σ+WTA+refine
     epilogue instead of the combine-kernel fast path (A/B benchmarking)."""
+    from . import criteria
+
+    offset = (window_size - 1) // 2
+    vmask0 = criteria.validity_mask(
+        dmin,
+        dmax,
+        offset,
+        window_size,
+        jnp.zeros(left.shape, jnp.uint8),
+        left_msk,
+        right_msk,
+    )
+    vmask0 = criteria.mask_border(vmask0, offset)
     # decide the fused-SGM fast path up front: census can then bake the
     # super-cost sentinel into its masking pass (one less volume round trip)
     n_disp = (dmax - dmin) * subpix + 1
