@@ -54,8 +54,17 @@ def stereo_pipeline(
     ``sgm_fused_epilogue=False`` forces the materializing Σ+WTA+refine
     epilogue instead of the combine-kernel fast path (A/B benchmarking)."""
     from . import criteria
+    from .ops import cost_volume as cv_ops
 
     offset = (window_size - 1) // 2
+    # the reference always materializes (2, row, col) disparity grids
+    # (img_tools.add_disparity), so the bit-12 variable-range check runs
+    # whenever the right image is masked, even for constant pairs
+    # (criteria.py:155-158) — mirror that with constant grids
+    grid_min = grid_max = None
+    if right_msk is not None:
+        grid_min = jnp.full(left.shape, float(dmin), jnp.float32)
+        grid_max = jnp.full(left.shape, float(dmax), jnp.float32)
     vmask0 = criteria.validity_mask(
         dmin,
         dmax,
@@ -64,8 +73,11 @@ def stereo_pipeline(
         jnp.zeros(left.shape, jnp.uint8),
         left_msk,
         right_msk,
+        grid_min,
+        grid_max,
     )
-    vmask0 = criteria.mask_border(vmask0, offset)
+    # NOTE: mask_border is applied AFTER the all-NaN bit-1 pass below,
+    # matching the modular _compute_cv ordering (steps/matching_cost.py).
     # decide the fused-SGM fast path up front: census can then bake the
     # super-cost sentinel into its masking pass (one less volume round trip)
     n_disp = (dmax - dmin) * subpix + 1
@@ -75,17 +87,18 @@ def stereo_pipeline(
 
         sgm_fast = (
             sgm_fused_epilogue
-            and sgm_ops.default_use_pallas()
+            and (sgm_ops.default_use_pallas() or _INTERPRET)
             and pallas_supported((*left.shape, n_disp), None, None, None, False)
         )
 
     if matching_cost == "census" and sgm_fast:
         # fully fused fast path: the cost volume is built DIRECTLY in the
         # two SGM scan layouts (no intra-tile volume transpose), as uint8
-        # when the cost family fits (4x less HBM traffic than f32, exact)
+        # when the cost family fits (4x less HBM traffic than f32, exact);
+        # input-mask invalidation is baked into the census sentinel pass
         return _census_sgm_fast_path(
-            left, right, dmin, dmax, subpix, window_size, p1, p2,
-            refinement, median_size,
+            left, right, left_msk, right_msk, vmask0, dmin, dmax, subpix,
+            window_size, p1, p2, refinement, median_size,
         )
     if matching_cost == "census":
         cv = census_cost_volume(
@@ -98,17 +111,27 @@ def stereo_pipeline(
             unroll=optimization is None,
         )
         type_measure = "min"
-        presubstituted = False
     elif matching_cost in ("sad", "ssd"):
         cv = sad_ssd_cost_volume(
             left, right, dmin, dmax, subpix, window_size, matching_cost == "ssd"
         )
         type_measure = "min"
-        presubstituted = False
     else:
         cv = zncc_cost_volume(left, right, dmin, dmax, subpix, window_size)
         type_measure = "max"
-        presubstituted = False
+    presubstituted = False
+    disp_vals = jnp.asarray(disparity_range(dmin, dmax, subpix), jnp.float32)
+
+    # cv_masked (matching_cost.py:770-872): NaN the costs built from
+    # input-masked pixels, so they can never win WTA
+    if left_msk is not None or right_msk is not None:
+        left_mask = cv_ops.masks_dilatation(left_msk, left.shape, window_size, subpix)[0]
+        right_masks = cv_ops.masks_dilatation(right_msk, right.shape, window_size, subpix)
+        cv = cv_ops.apply_cv_masks(
+            cv, left_mask, right_masks, disp_vals, None, None, dmin, dmax, subpix
+        )
+    vmask0 = criteria.mask_invalid_variable_disparity_range(cv, vmask0)
+    vmask0 = criteria.mask_border(vmask0, offset)
 
     if optimization == "sgm":
         use_pallas = sgm_ops.default_use_pallas()
@@ -119,6 +142,7 @@ def stereo_pipeline(
             # HBM (census rides the even faster layouts path above)
             disp, vmask = _sgm_wta_pallas_path(
                 cv,
+                vmask0,
                 type_measure,
                 dmin,
                 dmax,
@@ -147,8 +171,7 @@ def stereo_pipeline(
         )
         type_measure = "min"
 
-    disp_vals = jnp.asarray(disparity_range(dmin, dmax, subpix), jnp.float32)
-    disp, vmask, _ = wta(cv, disp_vals, type_measure, jnp.nan, None)
+    disp, vmask, _ = wta(cv, disp_vals, type_measure, jnp.nan, vmask0)
 
     if refinement in ("vfit", "quadratic"):
         disp, vmask, _ = refine(
@@ -180,12 +203,49 @@ _THRESH = 5.0e11
 _U8_THRESH = 1800.0
 
 
+# test hook: interpret-mode Pallas on CPU (tests/conftest forces 8 virtual
+# CPU devices; setting this True exercises the fused fast paths there)
+_INTERPRET = False
+
+
+def _invalid_bool(msk, window_size):
+    """Input mask → bool invalid plane, the masks_dilatation convention
+    (matching_cost.py:484-602): invalid where the user's mask flags the
+    pixel, or a window around it contains nodata."""
+    from .criteria import binary_dilation_msk
+
+    if msk is None:
+        return None
+    invalid = (msk != 0) & (msk != 1)
+    return invalid | binary_dilation_msk(msk == 1, window_size)
+
+
+def _finish_vmask(vmask0, invalid_mc, offset):
+    """Replicate the modular pipeline's mask flow after WTA-equivalent
+    invalid detection: all-invalid lanes get bit 1 if unflagged
+    (criteria.mask_invalid_variable_disparity_range), the border ring is
+    overwritten with bit 0 (criteria.mask_border), and wta()'s overwrite
+    rule runs last (disparity.py:468-474)."""
+    from .criteria import mask_border
+
+    bit1 = jnp.uint16(cst.PANDORA_MSK_PIXEL_RIGHT_NODATA_OR_DISPARITY_RANGE_MISSING)
+    vm = jnp.where(
+        invalid_mc & ((vmask0 & bit1) == 0), vmask0 + bit1, vmask0
+    ).astype(jnp.uint16)
+    vm = mask_border(vm, offset)
+    newly = invalid_mc & ((vm & cst.PANDORA_MSK_PIXEL_INVALID) == 0)
+    return jnp.where(newly, jnp.uint16(cst.PANDORA_MSK_PIXEL_INVALID), vm)
+
+
 def _census_sgm_fast_path(
-    left, right, dmin, dmax, subpix, window_size, p1, p2, refinement, median_size
+    left, right, left_msk, right_msk, vmask0, dmin, dmax, subpix, window_size,
+    p1, p2, refinement, median_size,
 ):
     """census → 8-path SGM → WTA → refine → median as three Pallas kernels
     plus XLA glue, with the cost volume built directly in both scan
-    layouts (uint8 when the cost family fits)."""
+    layouts (uint8 when the cost family fits).  Input-mask invalidation
+    rides the census sentinel pass; ``vmask0`` is the criteria mask
+    (pre-border) merged into the output exactly like the modular path."""
     from .ops.census import census_cost_volume_scan_layouts
     from .ops.refinement import refine_from_triplet
     from .ops.sgm_pallas import combine_wta_pallas, sgm_partials_from_layouts
@@ -205,19 +265,20 @@ def _census_sgm_fast_path(
     out_dtype = jnp.bfloat16 if bf16_ok else jnp.float32
 
     cost_rdw, cost_cdh, hwd = census_cost_volume_scan_layouts(
-        left, right, dmin, dmax, subpix, window_size, dtype
+        left, right, dmin, dmax, subpix, window_size, dtype,
+        left_invalid=_invalid_bool(left_msk, window_size),
+        right_invalid=_invalid_bool(right_msk, window_size),
     )
     parts = sgm_partials_from_layouts(
-        cost_rdw, cost_cdh, hwd, float(p1), float(p2), out_dtype=out_dtype
+        cost_rdw, cost_cdh, hwd, float(p1), float(p2), out_dtype=out_dtype,
+        interpret=_INTERPRET,
     )
-    idx, c0, c1, c2 = combine_wta_pallas(parts, threshold)
+    idx, c0, c1, c2 = combine_wta_pallas(parts, threshold, interpret=_INTERPRET)
 
     disp = jnp.float32(dmin) + idx.astype(jnp.float32) / jnp.float32(subpix)
     invalid_mc = jnp.isnan(c1)  # every disparity invalid (wta all-NaN rule)
     disp = jnp.where(invalid_mc, jnp.nan, disp)
-    vmask = jnp.where(
-        invalid_mc, jnp.uint16(cst.PANDORA_MSK_PIXEL_INVALID), jnp.uint16(0)
-    )
+    vmask = _finish_vmask(vmask0, invalid_mc, (window_size - 1) // 2)
     if refinement in ("vfit", "quadratic"):
         disp, vmask, _ = refine_from_triplet(
             c0, c1, c2, disp, vmask, float(dmin), float(dmax), subpix, "min", refinement
@@ -231,6 +292,7 @@ def _census_sgm_fast_path(
 
 def _sgm_wta_pallas_path(
     cv,
+    vmask0,
     type_measure,
     dmin,
     dmax,
@@ -250,15 +312,21 @@ def _sgm_wta_pallas_path(
         work = -cv if type_measure == "max" else cv
         work = jnp.where(jnp.isnan(work), _SUPER, work)
     out_dtype = jnp.bfloat16 if bf16_partials else jnp.float32
-    parts = sgm_partials_pallas(work, float(p1), float(p2), out_dtype=out_dtype)
-    idx, c0, c1, c2 = combine_wta_pallas(parts, _THRESH)
+    parts = sgm_partials_pallas(
+        work, float(p1), float(p2), out_dtype=out_dtype, interpret=_INTERPRET
+    )
+    idx, c0, c1, c2 = combine_wta_pallas(parts, _THRESH, interpret=_INTERPRET)
 
     disp = jnp.float32(dmin) + idx.astype(jnp.float32) / jnp.float32(subpix)
     invalid_mc = jnp.isnan(c1)  # every disparity invalid (wta all-NaN rule)
     disp = jnp.where(invalid_mc, jnp.nan, disp)
-    vmask = jnp.where(
-        invalid_mc, jnp.uint16(cst.PANDORA_MSK_PIXEL_INVALID), jnp.uint16(0)
-    )
+    if vmask0 is None:
+        vmask0 = jnp.zeros(disp.shape, jnp.uint16)
+    # vmask0 already carries bit 1 / border from the caller's
+    # mask_invalid_variable_disparity_range + mask_border pass; wta()'s
+    # overwrite rule is all that remains (a no-op when those bits are set)
+    newly = invalid_mc & ((vmask0 & cst.PANDORA_MSK_PIXEL_INVALID) == 0)
+    vmask = jnp.where(newly, jnp.uint16(cst.PANDORA_MSK_PIXEL_INVALID), vmask0)
     if refinement in ("vfit", "quadratic"):
         disp, vmask, _ = refine_from_triplet(
             c0, c1, c2, disp, vmask, float(dmin), float(dmax), subpix, "min", refinement

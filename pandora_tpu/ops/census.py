@@ -259,6 +259,8 @@ def census_cost_volume_scan_layouts(
     subpix: int = 1,
     window_size: int = 5,
     dtype: jnp.dtype = jnp.uint8,
+    left_invalid=None,
+    right_invalid=None,
 ):
     """Census cost volume directly in BOTH SGM scan layouts:
 
@@ -273,6 +275,14 @@ def census_cost_volume_scan_layouts(
     tile); padding and never-computed entries (reference loop bounds,
     census.cpp:132-172) hold the invalid sentinel: 255 for uint8 —
     exact, 4x less HBM traffic than f32 — or the f32 super-cost.
+
+    ``left_invalid`` / ``right_invalid`` are optional (H, W) bools (True =
+    pixel invalidated by the input mask, window-dilated for nodata) that
+    bake the reference's ``cv_masked`` invalidation
+    (matching_cost.py:770-872) into the sentinel pass: an entry is
+    invalid when its left pixel is, or the right pixel it reads at
+    ``col + floor(d)`` is (fractional shifts OR the two source columns,
+    the masks_dilatation 2-column-sum convention).
     Returns (cost_rdw, cost_cdh, hwd).
     """
     from ..fused import _SUPER  # noqa: PLC0415 (cycle-free: constant only)
@@ -336,8 +346,42 @@ def census_cost_volume_scan_layouts(
     rows_valid = (jnp.arange(h) >= hw) & (jnp.arange(h) < h - hw)
 
     inval = jnp.asarray(invalid, dtype)
-    mask_dhw = valid_wd.T[:, None, :] & rows_valid[None, :, None]  # (D, H, W)
-    mask_dwh = valid_wd.T[:, :, None] & rows_valid[None, None, :]  # (D, W, H)
+    mask_dhw = jnp.broadcast_to(
+        valid_wd.T[:, None, :] & rows_valid[None, :, None], (n_disp, h, w)
+    )  # (D, H, W)
+    mask_dwh = jnp.broadcast_to(
+        valid_wd.T[:, :, None] & rows_valid[None, None, :], (n_disp, w, h)
+    )  # (D, W, H)
+
+    # ---- input-mask invalidation (cv_masked, matching_cost.py:770-872) ---
+    if left_invalid is not None or right_invalid is not None:
+        from .cost_volume import pad_for_offset_scan
+
+        linv = (
+            left_invalid if left_invalid is not None else jnp.zeros((h, w), bool)
+        )
+        if right_invalid is not None:
+            r_invs = [right_invalid]
+            if subpix > 1:
+                # fractional shifts sample between columns c and c+1: invalid
+                # if either source column is (masks_dilatation 2-col sum)
+                r_invs.append(right_invalid[:, :-1] | right_invalid[:, 1:])
+        else:
+            r_invs = [jnp.zeros((h, w), bool)]
+            if subpix > 1:
+                r_invs.append(jnp.zeros((h, w - 1), bool))
+        gathered = []
+        for m in r_invs:
+            mp = pad_for_offset_scan(m, dmin, dmax, w)
+            gathered.append([mp[:, dd : dd + w] for dd in range(n_int)])
+        inval_planes = []
+        for kk in range(n_disp):
+            i = min(kk % subpix, len(r_invs) - 1)
+            dd = kk // subpix
+            inval_planes.append(linv | gathered[i][dd])
+        mask_dhw = mask_dhw & ~jnp.stack(inval_planes)
+        mask_dwh = mask_dwh & ~jnp.stack([p.T for p in inval_planes])
+
     cv_dhw = jnp.where(mask_dhw, cv_dhw.astype(dtype), inval)
     cv_dwh = jnp.where(mask_dwh, cv_dwh.astype(dtype), inval)
 

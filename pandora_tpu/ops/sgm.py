@@ -386,8 +386,12 @@ def sgm_optimize_volume(
     if confidence is not None:
         work = work * confidence[:, :, None]
     invalid = jnp.isnan(work)
-    finite_max = jnp.nanmax(jnp.where(invalid, -jnp.inf, work))
-    super_cost = finite_max + p2_max + 1.0
+    # fixed super-cost sentinel (same convention as the fused Pallas path,
+    # fused._SUPER): an invalid entry can never win a WTA NOR leak into a
+    # valid neighbour's message (sentinel + P1 absorbs exactly in f32 and
+    # always loses to min_prev + P2) — the C++ libSGM semantics, where
+    # invalid pixels simply never enter the cost array
+    super_cost = 1.0e12
     work = jnp.where(invalid, super_cost, work)
 
     if p1_planes is None:

@@ -106,12 +106,18 @@ def _sub_argmin(l, d_pad):
     return jnp.min(jnp.where(l == m, iota, d_pad), axis=0, keepdims=True)
 
 
-def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, *refs):
+def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, *refs):
     """Grid step: advance ``len(shifts)`` directions _BLOCK lines.
 
     Layout (line, disp, cross): cost_n/cost_f are (B, D, X); carry is
     (n_ch, D, X).  The first half of the channels runs on the normal
-    volume, the second half on the flipped one (flipped refs)."""
+    volume, the second half on the flipped one (flipped refs).
+
+    ``absorb``: sentinel value of invalid entries for small-dtype volumes
+    (255.0 for uint8).  f32 super-cost sentinels absorb the incoming
+    message automatically (1e12 + msg == 1e12 in f32), giving a clean
+    path restart after an invalid run; a small sentinel needs the
+    explicit select so masked zones can't leak messages across."""
     n_ch = len(shifts)
     half = n_ch // 2
     it = iter(refs)
@@ -140,6 +146,9 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, *refs):
     for j in range(b):
         cost_n = _to_f32(cost_n_ref[j])  # line g*B + j, (D, X)
         cost_f = _to_f32(cost_f_ref[b - 1 - j])  # flipped line
+        if absorb is not None:
+            inv_n = cost_n >= absorb
+            inv_f = cost_f >= absorb
         if has_seg:
             seg_n = seg_ref[j, 0]  # (X,) int32
             seg_f = seg_ref[j, 1]
@@ -167,6 +176,8 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, *refs):
                 ps = _shift_lane_i32(prev_seg[grp], dc)
                 msg = msg * (ps == cur)[None, :].astype(jnp.float32)
             l = cost + msg
+            if absorb is not None:
+                l = jnp.where(inv_n if grp == 0 else inv_f, cost, l)
             l_new.append(l)
             if track:
                 (am_n if grp == 0 else am_f).append(_sub_argmin(l, d_pad))
@@ -229,6 +240,7 @@ def _run_pass(
     track: bool,
     out_dtype,
     interpret: bool,
+    absorb: Optional[float] = None,
 ):
     l8, d8, x8 = cost_ldx.shape
     b = _BLOCK
@@ -288,7 +300,7 @@ def _run_pass(
         scratch.append(pltpu.VMEM((2, x8), jnp.int32))
 
     outs = pl.pallas_call(
-        partial(_scan_kernel, p1, p2, p1_mode, p2_mode, has_seg, track, shifts),
+        partial(_scan_kernel, p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb),
         grid=(gl,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -412,13 +424,16 @@ def sgm_partials_from_layouts(
     the kernels cast to f32 on load.  Padding must already hold the
     caller's invalid sentinel."""
     flips_row = [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)]
+    # uint8 sentinels (255) are too small to absorb messages by f32
+    # rounding — request the explicit restart select in the kernel
+    absorb = 255.0 if cost_rdw.dtype == jnp.uint8 else None
     row_n, row_f, _ = _run_pass(
         cost_rdw, (0, 1, -1, 0, 1, -1), flips_row, p1, p2,
-        None, None, None, False, out_dtype, interpret,
+        None, None, None, False, out_dtype, interpret, absorb,
     )
     col_n, col_f, _ = _run_pass(
         cost_cdh, (0, 0), [(6, False), (7, True)], p1, p2,
-        None, None, None, False, out_dtype, interpret,
+        None, None, None, False, out_dtype, interpret, absorb,
     )
     return SgmPartials(row_n, row_f, col_n, col_f, None, None, tuple(hwd))
 
