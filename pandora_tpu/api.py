@@ -151,6 +151,44 @@ def run(
     return state.left_disparity, state.right_disparity, state
 
 
+def crop_disparity_to_roi(disp: DisparityMap, roi: Dict[str, Any], img_path: str) -> DisparityMap:
+    """Crop a disparity map computed on the margin-extended, clamp-adjusted
+    ROI window back to the ROI proper, shifting the geo-transform so the
+    output GeoTIFF addresses the ROI's true pixel origin (the consumer no
+    longer needs to re-derive get_window's clamped offsets)."""
+    import dataclasses
+
+    from .io.raster import get_window, read_raster_header
+
+    header = read_raster_header(img_path)
+    row_off, col_off, n_rows, n_cols = get_window(roi, header["width"], header["height"])
+    r0 = roi["row"]["first"] - row_off
+    c0 = roi["col"]["first"] - col_off
+    r1 = min(roi["row"]["last"] - row_off + 1, n_rows)
+    c1 = min(roi["col"]["last"] - col_off + 1, n_cols)
+
+    def crop(arr, row_axis, col_axis):
+        if arr is None:
+            return None
+        sl = [slice(None)] * arr.ndim
+        sl[row_axis], sl[col_axis] = slice(r0, r1), slice(c0, c1)
+        return arr[tuple(sl)]
+
+    transform = disp.transform
+    if transform is not None:
+        a, b, c, d, e, f = transform[:6]
+        transform = (a, b, c + a * c0 + b * r0, d, e, f + d * c0 + e * r0)
+    return dataclasses.replace(
+        disp,
+        disparity_map=crop(disp.disparity_map, 0, 1),
+        validity_mask=crop(disp.validity_mask, 0, 1),
+        confidence=crop(disp.confidence, 0, 1),
+        interpolated_coeff=crop(disp.interpolated_coeff, 0, 1),
+        disparity_interval=crop(disp.disparity_interval, 1, 2),
+        transform=transform,
+    )
+
+
 def main(cfg_path: str, output: str, verbose: bool = False) -> None:
     """Config-file driver (reference main, __init__.py:151-202)."""
     setup_logging(verbose)
@@ -166,9 +204,16 @@ def main(cfg_path: str, output: str, verbose: bool = False) -> None:
                 side_cfg[key] = os.path.join(base, v)
     cfg, pipeline = check_conf(user_cfg)
     Profiler.enable_from_config(cfg)
-    left_img, right_img = images_from_config(cfg["input"], roi=cfg.get("ROI"))
+    roi = cfg.get("ROI")
+    left_img, right_img = images_from_config(cfg["input"], roi=roi)
     check_datasets(left_img, right_img)
     left_disp, right_disp, _ = run(pipeline, left_img, right_img)
+    if roi is not None:
+        left_disp = crop_disparity_to_roi(left_disp, roi, cfg["input"]["left"]["img"])
+        if right_disp is not None:
+            right_disp = crop_disparity_to_roi(
+                right_disp, roi, cfg["input"]["right"]["img"]
+            )
     common.save_results(left_disp, right_disp, output)
     cfg["margins"] = pipeline.margins.to_dict()
     common.save_config(output, cfg)

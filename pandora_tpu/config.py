@@ -177,21 +177,85 @@ def check_roi_section(roi: Dict[str, Any]) -> Dict[str, Any]:
     """Validate the optional ``ROI`` config section (windowed processing,
     the reference's CARS entry point img_tools.get_window, :61-98)."""
     roi = dict(roi)
-    roi.setdefault("margins", [0, 0, 0, 0])
+    # an explicit "margins": null means no margins (setdefault would keep
+    # the None and crash get_window's subscripting later)
+    if roi.get("margins") is None:
+        roi["margins"] = [0, 0, 0, 0]
     validate(ROI_SCHEMA, roi)
     if roi["col"]["first"] > roi["col"]["last"] or roi["row"]["first"] > roi["row"]["last"]:
         raise SchemaError("ROI: 'first' must be <= 'last'")
     return roi
 
 
-def check_conf(user_cfg: Dict[str, Any]) -> Tuple[Dict[str, Any], "Pipeline"]:
-    """Full two-phase validation; returns (validated config with defaults,
-    built Pipeline).  When the configured rasters exist on disk the
-    header-level image/disparity coherence checks run too (the reference
-    always opens them, check_configuration.py:450-473; here schema-only
-    validation of an in-memory config stays possible)."""
+def _check_input_files_exist(cfg_input: Dict[str, Any]) -> None:
+    """Every configured raster path must exist on disk — the reference
+    always opens the rasters during validation, so a typo'd path fails at
+    check time with a clear message, not at read time (check_configuration
+    .py:450-473)."""
     import os
 
+    for side in ("left", "right"):
+        for key in ("img", "mask", "classif", "segm", "edges", "disp"):
+            path = cfg_input[side].get(key)
+            if isinstance(path, str) and not os.path.isfile(path):
+                raise SchemaError(f"input.{side}.{key}: file not found: {path!r}")
+
+
+def check_pipeline_metadata(cfg_input, pipeline, left_meta, right_meta) -> None:
+    """Config-time image/pipeline coherence, mirrored left↔right like the
+    reference's second check round (state_machine.check_conf, :950-1008):
+
+    * the matching-cost ``band`` must exist in BOTH images' band names
+      (check_band_pipeline, state_machine.py), and multiband images
+      require an explicit band;
+    * 3SGM geometric priors need their classif/segm/edges input layer on
+      the left (and on the right for accurate cross-checking, whose
+      mirrored run optimizes the right cost volume too); classif
+      ``classes`` must be among the classif band names.
+    """
+    accurate = pipeline.right_disp_map == "cross_checking_accurate"
+    sides = (("left", left_meta), ("right", right_meta))
+    for key, step in pipeline.steps:
+        family = key.split(".")[0]
+        if family == "matching_cost":
+            band = step.cfg.get("band")
+            for side, meta in sides:
+                bands = meta.get("band_im") or ()
+                if band is not None:
+                    if band not in bands:
+                        raise SchemaError(
+                            f"{key}: band {band!r} not in {side} image bands {tuple(bands)}"
+                        )
+                elif len(bands) > 1:
+                    raise SchemaError(
+                        f"{key}: {side} image is multiband {tuple(bands)} — 'band' is required"
+                    )
+        if family in ("optimization", "semantic_segmentation"):
+            prior = step.cfg.get("geometric_prior") or {}
+            source = prior.get("source")
+            if source in ("classif", "segm", "edges"):
+                layer = "classif" if source == "classif" else source
+                for side, meta in sides if accurate else sides[:1]:
+                    if cfg_input[side].get(layer) is None:
+                        raise SchemaError(
+                            f"{key}: geometric_prior {source!r} requires input.{side}.{layer}"
+                        )
+                classes = prior.get("classes")
+                if source == "classif" and classes:
+                    for side, meta in sides if accurate else sides[:1]:
+                        names = meta.get("band_classif") or ()
+                        missing = [c for c in classes if c not in names]
+                        if missing:
+                            raise SchemaError(
+                                f"{key}: classes {missing} not in {side} classif bands {tuple(names)}"
+                            )
+
+
+def check_conf(user_cfg: Dict[str, Any]) -> Tuple[Dict[str, Any], "Pipeline"]:
+    """Full two-phase validation; returns (validated config with defaults,
+    built Pipeline).  The configured rasters must exist on disk — the
+    header-level image/disparity/band coherence checks always run, like
+    the reference (check_configuration.py:450-473)."""
     from .pipeline import Pipeline
 
     if "input" not in user_cfg:
@@ -199,15 +263,33 @@ def check_conf(user_cfg: Dict[str, Any]) -> Tuple[Dict[str, Any], "Pipeline"]:
     if "pipeline" not in user_cfg:
         raise SchemaError("missing 'pipeline' section")
     cfg_input = check_input_section(user_cfg["input"])
-    if os.path.isfile(cfg_input["left"]["img"]) and os.path.isfile(cfg_input["right"]["img"]):
-        check_images(cfg_input)
-        check_disparities_from_input(cfg_input["left"]["disp"], cfg_input["left"]["img"])
-        check_disparities_from_input(cfg_input["right"]["disp"], cfg_input["right"]["img"])
-        from .io.raster import read_raster_header
+    _check_input_files_exist(cfg_input)
+    check_images(cfg_input)
+    check_disparities_from_input(cfg_input["left"]["disp"], cfg_input["left"]["img"])
+    check_disparities_from_input(cfg_input["right"]["disp"], cfg_input["right"]["img"])
+    from .io.raster import read_raster_header
 
-        check_band_names(read_raster_header(cfg_input["left"]["img"])["band_names"])
-        check_band_names(read_raster_header(cfg_input["right"]["img"])["band_names"])
+    check_band_names(read_raster_header(cfg_input["left"]["img"])["band_names"])
+    check_band_names(read_raster_header(cfg_input["right"]["img"])["band_names"])
     pipeline = Pipeline(user_cfg["pipeline"])
+
+    from .api import get_metadata
+
+    left_meta = get_metadata(
+        cfg_input["left"]["img"],
+        cfg_input["left"]["disp"],
+        classif=cfg_input["left"].get("classif"),
+        segm=cfg_input["left"].get("segm"),
+        edges=cfg_input["left"].get("edges"),
+    )
+    right_meta = get_metadata(
+        cfg_input["right"]["img"],
+        cfg_input["right"]["disp"],
+        classif=cfg_input["right"].get("classif"),
+        segm=cfg_input["right"].get("segm"),
+        edges=cfg_input["right"].get("edges"),
+    )
+    check_pipeline_metadata(cfg_input, pipeline, left_meta, right_meta)
     out = {
         "input": cfg_input,
         "pipeline": pipeline.validated_cfg,

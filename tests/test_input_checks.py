@@ -237,6 +237,7 @@ def test_roi_end_to_end_cones(tmp_path):
     pandora_tpu.main(str(path), str(out2))
     full_disp, *_ = read_raster(str(out2 / "left_disparity.tif"))
 
-    # ROI read started at (row 30, col 50); compare the ROI proper interior
-    interior = roi_disp[0, 70:170, 70:190]
-    np.testing.assert_array_equal(interior, full_disp[0, 100:200, 120:240])
+    # the ROI output is cropped to the ROI proper (margins removed), so it
+    # compares 1:1 against the same region of the full-frame run
+    assert roi_disp.shape == (1, 100, 120)
+    np.testing.assert_array_equal(roi_disp[0], full_disp[0, 100:200, 120:240])

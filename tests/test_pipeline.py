@@ -203,20 +203,59 @@ def test_profiling_outputs(tmp_path, cones):
     assert not Profiler.enabled
 
 
-def test_sample_configs_validate():
-    """All reference data_samples configs validate unchanged (SURVEY §5.6:
-    identical JSON surface; mc_cnn/sgm plugin capabilities are native)."""
+_SAMPLE_CONFIGS = [
+    # (name, bad-1 gate): SGM pipelines match the reference functional gate
+    # (test_pandora.py:137-140 <= 0.20, multiscale-class 0.25); the two
+    # local block-matching configs have no regularization, so only a sanity
+    # ceiling applies (raw WTA on cones sits around 0.40)
+    ("a_local_block_matching.json", 0.55),
+    ("a_local_block_matching_for_multiband_img.json", 0.60),
+    ("a_semi_global_matching.json", 0.25),
+    ("a_semi_global_matching_with_confidence.json", 0.25),
+    ("a_semi_global_matching_with_mccnn_similarity_measure.json", 0.25),
+]
+
+
+@pytest.fixture(scope="session")
+def sample_scene(tmp_path_factory):
+    """Unzip the data_samples cones images next to copies of the five JSON
+    configs, so each config runs UNCHANGED (its relative ./left.png paths
+    resolve against the config directory, like the reference README flow)."""
     import glob
+    import shutil
+    import zipfile
 
-    from pandora_tpu.config import check_conf
+    scene = tmp_path_factory.mktemp("data_samples")
+    for z in ("cones.zip", "cones_rgb.zip"):
+        with zipfile.ZipFile(f"/root/reference/data_samples/images/{z}") as zf:
+            zf.extractall(scene)
+    for p in glob.glob("/root/reference/data_samples/json_conf_files/*.json"):
+        shutil.copy(p, scene)
+    return scene
 
-    paths = sorted(glob.glob("/root/reference/data_samples/json_conf_files/*.json"))
-    assert len(paths) == 5
-    for p in paths:
-        with open(p, "r", encoding="utf-8") as fh:
-            cfg = json.load(fh)
-        validated, pipeline = check_conf(cfg)
-        assert pipeline.steps, p
+
+@pytest.mark.functional
+@pytest.mark.parametrize("name,gate", _SAMPLE_CONFIGS, ids=[c[0] for c in _SAMPLE_CONFIGS])
+def test_sample_configs_run_end_to_end(sample_scene, tmp_path, name, gate):
+    """All five reference data_samples configs EXECUTE unchanged (SURVEY
+    §5.6) and their left disparity passes the quality gate vs the cones
+    ground truth."""
+    from pandora_tpu.io.raster import read_raster
+
+    out = tmp_path / "out"
+    pandora_tpu.main(str(sample_scene / name), str(out), verbose=False)
+    disp, *_ = read_raster(str(out / "left_disparity.tif"))
+    gt, *_ = read_raster("/root/reference/tests/pandora/disp_left.tif")
+    mask = gt[0] != 0
+    bad1 = float((np.abs(disp[0][mask] + gt[0][mask]) > 1).sum() / disp[0].size)
+    assert bad1 <= gate, f"{name}: bad-1 {bad1:.3f} > {gate}"
+    # every config runs accurate cross-checking: the right products exist
+    assert (out / "right_disparity.tif").exists()
+    assert (out / "left_validity_mask.tif").exists()
+    vm, *_ = read_raster(str(out / "left_validity_mask.tif"))
+    assert vm.dtype.kind in "ui" or np.all(vm >= 0)
+    saved = json.loads((out / "cfg" / "config.json").read_text())
+    assert "margins" in saved and "pipeline" in saved
 
 
 def test_multiband_band_names_from_gdal_metadata():
