@@ -7,12 +7,12 @@ Prints ONE JSON line:
    (same census+SGM+WTA algorithm, measured on this machine — the
    reference CNES/Pandora publishes no perf numbers, BASELINE.md)}
 
-Options:
-  --stages    also print a per-stage timing breakdown (one JSON line per
-              stage) before the headline line
-  --accuracy  also run the compiled TPU path on the real Middlebury cones
-              pair and print the bad-1 error rate line (hardware-path
-              accuracy artifact; gate <= 0.20, test_basic.py:159)
+The cones bad-1 accuracy line through the compiled TPU path ALWAYS runs
+(it is the only artifact exercising compiled Mosaic kernels each round;
+gate <= 0.20, reference functional_tests/test_basic.py:159).  Options:
+  --stages       also print a per-stage timing breakdown (one JSON line
+                 per stage) before the headline line
+  --no-accuracy  skip the cones accuracy line (quick timing-only runs)
 
 Timing methodology: the axon TPU platform's block_until_ready does not
 synchronize, so each timed batch chains a scalar nansum per run and forces
@@ -174,7 +174,7 @@ def main() -> None:
     left = jnp.asarray(rng.random((ROWS, COLS), np.float32) * 255)
     right = jnp.asarray(rng.random((ROWS, COLS), np.float32) * 255)
 
-    if "--accuracy" in sys.argv:
+    if "--no-accuracy" not in sys.argv:
         _accuracy_line()
     if "--stages" in sys.argv:
         _stage_breakdown(left, right)

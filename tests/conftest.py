@@ -16,7 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# PANDORA_TPU_HW_TESTS=1 keeps the session on the real TPU platform so the
+# @pytest.mark.tpu suite exercises COMPILED Mosaic kernels (everything else
+# runs in interpret mode on CPU and would miss layout/lowering regressions)
+if os.environ.get("PANDORA_TPU_HW_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,97 @@
+"""Compiled-TPU hardware gates (@pytest.mark.tpu).
+
+Run with::
+
+    PANDORA_TPU_HW_TESTS=1 PYTHONPATH=/root/.axon_site:. \
+        python -m pytest tests/test_tpu_hw.py -m tpu -q
+
+Everything else in the suite runs the Pallas kernels in interpret mode on
+virtual CPU devices, so a Mosaic lowering or uint8-layout regression would
+ship with tests green; these tests gate the COMPILED path (reference
+counterpart: functional_tests/test_basic.py:159).  ``bench.py`` emits the
+same cones bad-1 line into every round's bench artifact.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.tpu
+
+_ON_TPU = False
+try:
+    _ON_TPU = jax.devices()[0].platform not in ("cpu", "gpu")
+except Exception:  # pragma: no cover - no devices at all
+    pass
+
+requires_tpu = pytest.mark.skipif(
+    not _ON_TPU or os.environ.get("PANDORA_TPU_HW_TESTS") != "1",
+    reason="needs PANDORA_TPU_HW_TESTS=1 and a real TPU device",
+)
+
+
+@requires_tpu
+def test_cones_bad1_compiled_fused(cones):
+    """bad-1 <= 0.20 on cones through the compiled fused fast path."""
+    import jax.numpy as jnp
+
+    from conftest import error_rate
+    from pandora_tpu.fused import make_jitted_pipeline
+
+    fn = make_jitted_pipeline(
+        dmin=-60, dmax=0, subpix=1, window_size=5,
+        matching_cost="census", optimization="sgm", p1=8.0, p2=32.0,
+        refinement="vfit", median_size=3,
+    )
+    disp, vmask = fn(jnp.asarray(cones["left"]), jnp.asarray(cones["right"]))
+    bad1 = error_rate(np.asarray(disp), cones["gt_left"])
+    assert bad1 <= 0.20, f"compiled fused path bad-1 {bad1:.4f} > 0.20"
+    # the validity mask carries real criteria bits (border ring = bit 0)
+    vm = np.asarray(vmask)
+    import pandora_tpu.constants as cst
+
+    assert np.all(vm[0, :] == cst.PANDORA_MSK_PIXEL_LEFT_NODATA_OR_BORDER)
+
+
+@requires_tpu
+def test_pallas_compiled_equals_lax_scan():
+    """Compiled Pallas SGM == the lax.scan formulation, bit-exact, on a
+    small random volume (integer costs/penalties keep f32 math exact)."""
+    import jax.numpy as jnp
+
+    from pandora_tpu.ops.sgm import sgm_aggregate
+    from pandora_tpu.ops.sgm_pallas import sgm_aggregate_pallas
+
+    rng = np.random.default_rng(3)
+    cost = rng.integers(0, 26, (40, 52, 16)).astype(np.float32)
+    p1p = jnp.full((8, 1, 1), 8.0)
+    p2p = jnp.full((8, 1, 1), 32.0)
+    want, _ = sgm_aggregate(jnp.asarray(cost), p1p, p2p)
+    got, _ = sgm_aggregate_pallas(jnp.asarray(cost), 8.0, 32.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@requires_tpu
+def test_uint8_scan_layouts_compiled_equal_f32(cones):
+    """Compiled uint8 scan-layout fast path == compiled f32 epilogue path
+    on the cones pair (disparities and validity masks bit-equal)."""
+    import jax.numpy as jnp
+
+    from pandora_tpu.fused import make_jitted_pipeline
+
+    kw = dict(
+        dmin=-60, dmax=0, subpix=1, window_size=5, matching_cost="census",
+        optimization="sgm", p1=8.0, p2=32.0, refinement="vfit", median_size=0,
+    )
+    fast = make_jitted_pipeline(sgm_fused_epilogue=True, **kw)
+    slow = make_jitted_pipeline(sgm_fused_epilogue=False, **kw)
+    l, r = jnp.asarray(cones["left"]), jnp.asarray(cones["right"])
+    d1, v1 = fast(l, r)
+    d2, v2 = slow(l, r)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(
+        np.nan_to_num(np.asarray(d1), nan=-1e9), np.nan_to_num(np.asarray(d2), nan=-1e9)
+    )
