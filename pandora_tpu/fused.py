@@ -202,6 +202,11 @@ _THRESH = 5.0e11
 # worst-case bf16 rounding of invalid partials)
 _U8_THRESH = 1800.0
 
+# uint8 PARTIAL volumes clamp each directional sum to 255, so invalid
+# totals are exactly 4*255 = 1020 while valid ones stay <= 8*(cmax+P2)
+# <= 677 under the u8-partials gate 3*(cmax+P2) <= 254
+_U8P_THRESH = 900.0
+
 
 # test hook: interpret-mode Pallas on CPU (tests/conftest forces 8 virtual
 # CPU devices; setting this True exercises the fused fast paths there)
@@ -253,16 +258,21 @@ def _census_sgm_fast_path(
     cmax = float(window_size**2)
     u8_ok = 8.0 * (cmax + float(p2)) <= 1600.0
     dtype = jnp.uint8 if u8_ok else jnp.float32
-    threshold = _U8_THRESH if u8_ok else _THRESH
-    # bf16 partial volumes are bit-exact when every path cost is an
-    # integer <= 256 (integer penalties, census costs <= w², row triples
-    # <= 3·(cmax+P2)) — half the HBM traffic for free
-    bf16_ok = (
-        float(p1).is_integer()
-        and float(p2).is_integer()
-        and 3 * (cmax + float(p2)) <= 256
-    )
-    out_dtype = jnp.bfloat16 if bf16_ok else jnp.float32
+    int_pen = float(p1).is_integer() and float(p2).is_integer()
+    # partial-volume dtype ladder (all bit-exact under their gates):
+    # * uint8: directional sums clamp to 255 — 4x less HBM than f32;
+    #   needs integer penalties, u8 costs and 3*(cmax+P2) <= 254 so valid
+    #   row triples never clamp
+    # * bf16: integers <= 256 are exact — 2x less HBM than f32
+    u8p_ok = u8_ok and int_pen and 3 * (cmax + float(p2)) <= 254
+    bf16_ok = int_pen and 3 * (cmax + float(p2)) <= 256
+    if u8p_ok:
+        out_dtype, threshold = jnp.uint8, _U8P_THRESH
+    elif u8_ok:
+        out_dtype = jnp.bfloat16 if bf16_ok else jnp.float32
+        threshold = _U8_THRESH
+    else:
+        out_dtype, threshold = jnp.float32, _THRESH
 
     cost_rdw, cost_cdh, hwd = census_cost_volume_scan_layouts(
         left, right, dmin, dmax, subpix, window_size, dtype,

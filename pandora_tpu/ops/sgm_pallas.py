@@ -99,6 +99,16 @@ def _to_f32(x):
     return x.astype(jnp.float32)
 
 
+def _store_cast(x, dtype):
+    """Store-cast f32 L-values.  uint8 partials clamp to 255: valid
+    directional sums are exact small integers, invalid ones (>= 255 per
+    direction thanks to the absorb select) saturate — totals of clamped
+    partials still separate (4*255 = 1020 vs valid <= 8*(cmax+P2))."""
+    if dtype == jnp.uint8:
+        return jnp.clip(x, 0.0, 255.0).astype(jnp.int16).astype(jnp.uint8)
+    return x.astype(dtype)
+
+
 def _sub_argmin(l, d_pad):
     """First-occurrence argmin over the sublane (disp) axis → (1, X) i32."""
     m = jnp.min(l, axis=0, keepdims=True)
@@ -192,8 +202,8 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, *refs
         out_f = l_new[half]
         for ch in range(half + 1, n_ch):
             out_f = out_f + l_new[ch]
-        out_n_ref[j] = out_n.astype(out_n_ref.dtype)
-        out_f_ref[b - 1 - j] = out_f.astype(out_f_ref.dtype)
+        out_n_ref[j] = _store_cast(out_n, out_n_ref.dtype)
+        out_f_ref[b - 1 - j] = _store_cast(out_f, out_f_ref.dtype)
         if track:
             amin_n_ref[j] = jnp.concatenate(am_n, axis=0)
             amin_f_ref[b - 1 - j] = jnp.concatenate(am_f, axis=0)
@@ -470,6 +480,37 @@ def sgm_aggregate_pallas(
     return total, nb_dirs
 
 
+def _finish_kernel_2d(n_disp, d_pad, threshold, *refs):
+    """2-D-grid finish: total = rn + rf + (cn + cf)^T on a (B, D, WB) row
+    tile paired with the matching (WB, D, B) col tile — the col partials
+    are read in their NATIVE scan layout, so the XLA add+transpose
+    materialization of a whole colsum volume disappears (one full-volume
+    write + read of HBM traffic saved).
+
+    refs: rn, rf (B, D, WB), cn, cf (WB, D, B) → idx, c0, c1, c2 (B, WB)."""
+    rn, rf, cn, cf, idx_ref, c0_ref, c1_ref, c2_ref = refs
+    cs = _to_f32(cn[...]) + _to_f32(cf[...])  # (WB, D, B)
+    cs_t = jnp.transpose(cs, (2, 1, 0))  # VMEM-local transpose, no HBM
+    t = _to_f32(rn[...]) + _to_f32(rf[...]) + cs_t  # (B, D, WB)
+    inv = t >= threshold
+    g = jnp.where(inv, _BIG, t)
+    m = jnp.min(g, axis=1, keepdims=True)  # (B, 1, WB)
+    iota = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    idx = jnp.min(jnp.where(g == m, iota, d_pad), axis=1)  # (B, WB)
+    idx_c = jnp.clip(idx, 1, n_disp - 2)
+    tn = jnp.where(inv, jnp.nan, t)
+    ic = idx_c[:, None, :]
+
+    def sel(sel_idx):
+        return jnp.sum(jnp.where(iota == sel_idx, tn, 0.0), axis=1)
+
+    all_inv = m[:, 0] >= _BIG * 0.5
+    idx_ref[...] = idx.astype(jnp.float32)
+    c0_ref[...] = sel(ic - 1)
+    c1_ref[...] = jnp.where(all_inv, jnp.nan, m[:, 0])
+    c2_ref[...] = sel(ic + 1)
+
+
 def _finish_kernel(n_disp, d_pad, threshold, *refs):
     """Grid step: total = row_n + row_f + colsum on (B, D, W) tiles, then
     WTA + vfit-triplet extraction in VMEM — the total volume never
@@ -479,8 +520,7 @@ def _finish_kernel(n_disp, d_pad, threshold, *refs):
     Entries >= threshold are the super-cost (invalid) sentinels: excluded
     from the argmin and reported as NaN in the triplet."""
     rn, rf, cs, idx_ref, c0_ref, c1_ref, c2_ref = refs
-    f32 = jnp.float32
-    t = rn[...].astype(f32) + rf[...].astype(f32) + cs[...].astype(f32)  # (B, D, W)
+    t = _to_f32(rn[...]) + _to_f32(rf[...]) + _to_f32(cs[...])  # (B, D, W)
     inv = t >= threshold
     g = jnp.where(inv, _BIG, t)
     m = jnp.min(g, axis=1, keepdims=True)  # (B, 1, W)
@@ -503,35 +543,67 @@ def _finish_kernel(n_disp, d_pad, threshold, *refs):
     c2_ref[...] = sel(ic + 1)
 
 
-def combine_wta_pallas(parts: SgmPartials, threshold, interpret: bool = False):
+def combine_wta_pallas(
+    parts: SgmPartials, threshold, interpret: bool = False, two_d: bool = True
+):
     """Fused Σ-partials + WTA + triplet: one read of the partial volumes,
     no materialized total.  Returns (idx int32, c0, c1, c2) cropped to
     (h, w); idx is the argmin position, c* the costs at idx-1/idx/idx+1
     with NaN where the entry is invalid (c1 NaN ⇔ every disparity invalid,
-    the wta() all-NaN convention)."""
+    the wta() all-NaN convention).
+
+    ``two_d=True`` (default) pairs each (B, D, WB) row tile with its
+    matching (WB, D, B) col tile over a 2-D grid and transposes in VMEM —
+    the col partials are consumed in their native scan layout, removing
+    the whole-volume XLA add+transpose (≈2 volume round trips of HBM
+    traffic).  ``two_d=False`` keeps the 1-D materializing variant."""
     h, w, d = parts.hwd
     h8, d8, w8 = parts.row_n.shape
-    # one cheap XLA fused add+transpose brings the col partials into the
-    # row orientation: (W8, D8, H8) -> (H8, D8, W8)
-    colsum = (
-        (parts.col_n.astype(jnp.float32) + parts.col_f.astype(jnp.float32))
-        .transpose(2, 1, 0)
-        .astype(parts.row_n.dtype)
-    )
     b = _BLOCK
     gr = h8 // b
-    vol_spec = pl.BlockSpec((b, d8, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
-    map_spec = pl.BlockSpec((b, w8), lambda g: (g, 0), memory_space=pltpu.VMEM)
     map_sds = jax.ShapeDtypeStruct((h8, w8), jnp.float32)
-    idx_f, c0, c1, c2 = pl.pallas_call(
-        partial(_finish_kernel, d, d8, threshold),
-        grid=(gr,),
-        in_specs=[vol_spec] * 3,
-        out_specs=(map_spec,) * 4,
-        out_shape=(map_sds,) * 4,
-        compiler_params=_VMEM_PARAMS,
-        interpret=interpret,
-    )(parts.row_n, parts.row_f, colsum)
+
+    if two_d:
+        # both tile extents are 128: Mosaic requires the minor block dim
+        # to be lane-width, and both layouts put a spatial axis minor —
+        # (128, D, 128) row tiles pair with (128, D, 128) col tiles
+        tb = 128
+        grb, gw = h8 // tb, w8 // tb
+        row_spec = pl.BlockSpec(
+            (tb, d8, tb), lambda r, c: (r, 0, c), memory_space=pltpu.VMEM
+        )
+        col_spec = pl.BlockSpec(
+            (tb, d8, tb), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
+        )
+        map_spec = pl.BlockSpec((tb, tb), lambda r, c: (r, c), memory_space=pltpu.VMEM)
+        idx_f, c0, c1, c2 = pl.pallas_call(
+            partial(_finish_kernel_2d, d, d8, threshold),
+            grid=(grb, gw),
+            in_specs=[row_spec, row_spec, col_spec, col_spec],
+            out_specs=(map_spec,) * 4,
+            out_shape=(map_sds,) * 4,
+            compiler_params=_VMEM_PARAMS,
+            interpret=interpret,
+        )(parts.row_n, parts.row_f, parts.col_n, parts.col_f)
+    else:
+        # one cheap XLA fused add+transpose brings the col partials into
+        # the row orientation: (W8, D8, H8) -> (H8, D8, W8)
+        colsum = (
+            (parts.col_n.astype(jnp.float32) + parts.col_f.astype(jnp.float32))
+            .transpose(2, 1, 0)
+            .astype(parts.row_n.dtype)
+        )
+        vol_spec = pl.BlockSpec((b, d8, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+        map_spec = pl.BlockSpec((b, w8), lambda g: (g, 0), memory_space=pltpu.VMEM)
+        idx_f, c0, c1, c2 = pl.pallas_call(
+            partial(_finish_kernel, d, d8, threshold),
+            grid=(gr,),
+            in_specs=[vol_spec] * 3,
+            out_specs=(map_spec,) * 4,
+            out_shape=(map_sds,) * 4,
+            compiler_params=_VMEM_PARAMS,
+            interpret=interpret,
+        )(parts.row_n, parts.row_f, colsum)
     crop = (slice(None, h), slice(None, w))
     return idx_f[crop].astype(jnp.int32), c0[crop], c1[crop], c2[crop]
 

@@ -93,6 +93,11 @@ class Pipeline:
             state.right_disp_map = "accurate"
         elif self.right_disp_map == "cross_checking_fast":
             state.right_disp_map = "fast"
+        plan = self._fused_plan(state)
+        if plan is not None:
+            logging.info("pipeline: fused fast path (%s)", plan)
+            self._run_fused(state, plan)
+            return state
         for key, step in self.steps:
             logging.info("%s...", key)
             if Profiler.enabled:
@@ -100,3 +105,135 @@ class Pipeline:
             else:
                 step.run(state)
         return state
+
+    # -- fused fast-path routing --------------------------------------------
+    #
+    # A census→SGM(constant penalties)→WTA(→vfit/quadratic)(→median) JSON
+    # pipeline is EXACTLY the fused serving path (proven bit-equal by
+    # tests/test_fused_parity.py), so on TPU the modular engine routes it
+    # through the uint8 scan-layout kernels instead of materializing NaN
+    # f32 (row, col, disp) volumes per step (~4x the HBM traffic).
+
+    def _fused_plan(self, state: PipelineState):
+        from .ops import sgm as sgm_ops
+
+        if not sgm_ops.default_use_pallas():
+            return None
+        if state.right_disp_map != "none" or state.num_scales > 1:
+            return None
+        if state.spatial_axes or state.scale_factor != 1 or state.extrema_preset:
+            return None
+        img_l, img_r = state.left_img, state.right_img
+        if img_l.msk is not None or img_r.msk is not None:
+            # masks ARE supported by the fused path, but the modular CV
+            # carries them through confidence-free steps only; keep the
+            # conservative gate aligned with what the parity test pins
+            pass
+        if img_l.disp_min is None or img_l.disparity_source == "grid":
+            return None
+        plan = {}
+        expect = iter(
+            ["matching_cost", "optimization", "disparity", "refinement", "filter"]
+        )
+        pos = list(expect)
+        i = 0
+        for key, step in self.steps:
+            family = key.split(".")[0]
+            while i < len(pos) and pos[i] != family:
+                # optional steps may be absent, but order must hold and
+                # matching_cost/optimization/disparity are mandatory
+                if pos[i] in ("matching_cost", "optimization", "disparity"):
+                    return None
+                i += 1
+            if i >= len(pos):
+                return None
+            if family == "matching_cost":
+                if step.cfg["matching_cost_method"] != "census":
+                    return None
+                plan.update(
+                    window_size=step.cfg["window_size"],
+                    subpix=step.cfg["subpix"],
+                    band=step.cfg["band"],
+                )
+            elif family == "optimization":
+                pen = step.cfg.get("penalty", {})
+                if (
+                    step.cfg["optimization_method"] != "sgm"
+                    or pen.get("penalty_method") != "sgm_penalty"
+                    or pen.get("p2_method") != "constant"
+                    or step.cfg.get("overcounting")
+                    or step.cfg.get("min_cost_paths")
+                    or step.cfg.get("use_confidence") is not None
+                ):
+                    return None
+                plan.update(p1=float(pen["P1"]), p2=float(pen["P2"]))
+            elif family == "disparity":
+                plan.update(invalid=float(step.cfg["invalid_disparity"]))
+            elif family == "refinement":
+                plan.update(refinement=step.cfg["refinement_method"])
+            elif family == "filter":
+                if step.cfg["filter_method"] != "median":
+                    return None
+                plan.update(median_size=step.cfg["filter_size"])
+            i += 1
+        if "p1" not in plan or "invalid" not in plan:
+            return None
+        from .ops.sgm_pallas import pallas_supported
+
+        from .datamodel import disparity_extrema
+
+        dmin, dmax = disparity_extrema(img_l)
+        n_disp = (dmax - dmin) * plan["subpix"] + 1
+        shape = img_l.band(plan["band"]).shape
+        if not pallas_supported((*shape, n_disp), None, None, None, False):
+            return None
+        plan.update(dmin=dmin, dmax=dmax)
+        return plan
+
+    _fused_cache: Dict[tuple, Any] = {}
+
+    def _run_fused(self, state: PipelineState, plan) -> None:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .datamodel import DisparityMap
+        from .fused import make_jitted_pipeline
+
+        img_l, img_r = state.left_img, state.right_img
+        cfg_key = (
+            plan["dmin"], plan["dmax"], plan["subpix"], plan["window_size"],
+            plan["p1"], plan["p2"], plan.get("refinement"), plan.get("median_size", 0),
+        )
+        fn = Pipeline._fused_cache.get(cfg_key)
+        if fn is None:
+            fn = make_jitted_pipeline(
+                dmin=plan["dmin"],
+                dmax=plan["dmax"],
+                subpix=plan["subpix"],
+                window_size=plan["window_size"],
+                matching_cost="census",
+                optimization="sgm",
+                p1=plan["p1"],
+                p2=plan["p2"],
+                refinement=plan.get("refinement"),
+                median_size=plan.get("median_size", 0),
+            )
+            Pipeline._fused_cache[cfg_key] = fn
+        left = img_l.band(plan["band"])
+        right = img_r.band(plan["band"])
+        lmsk = img_l.msk
+        rmsk = img_r.msk
+        disp, vmask = fn(left, right, lmsk, rmsk)
+        invalid = plan["invalid"]
+        # wta() fills all-NaN lanes with the configured invalid value; the
+        # fused path's NaN marks exactly those lanes
+        if not np.isnan(invalid):
+            disp = jnp.where(jnp.isnan(disp), jnp.float32(invalid), disp)
+        state.dmin, state.dmax = plan["dmin"], plan["dmax"]
+        state.left_disparity = DisparityMap(
+            disparity_map=disp,
+            validity_mask=vmask,
+            invalid_disparity=None if np.isnan(invalid) else invalid,
+            transform=img_l.transform,
+            crs=img_l.crs,
+        )

@@ -45,15 +45,27 @@ class ArnnSegmentation(Step):
         return NULL_MARGINS
 
     def _params(self):
+        import os
+
         from ..ops import linknet
 
         if self._cached_params is None:
-            if self.cfg["model_path"]:
-                self._cached_params = linknet.load_params(self.cfg["model_path"])
+            path = self.cfg["model_path"]
+            if not path:
+                # bundled checkpoint trained in-framework on TPU
+                # (scripts/train_linknet.py) — the counterpart of the
+                # plugin's pretrained building weights (plugin_arnn.rst)
+                bundled = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "..", "data", "linknet.npz"
+                )
+                path = bundled if os.path.exists(bundled) else None
+            if path:
+                self._cached_params = linknet.load_params(path)
             else:
                 logging.warning(
-                    "ARNN: no model_path given - using seeded random weights "
-                    "(untrained); pass an .npz checkpoint for real segmentations"
+                    "ARNN: no model_path and no bundled checkpoint - using "
+                    "seeded random weights (untrained); run "
+                    "scripts/train_linknet.py or pass an .npz checkpoint"
                 )
                 self._cached_params = linknet.init_params()
         return self._cached_params
