@@ -11,7 +11,15 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "examp
 
 @pytest.mark.functional
 @pytest.mark.parametrize(
-    "script", ["basic_census_sgm.py", "tiled_multichip.py", "large_scene_checkpointed.py"]
+    "script",
+    [
+        "basic_census_sgm.py",
+        "tiled_multichip.py",
+        "large_scene_checkpointed.py",
+        "multiscale_pipeline.py",
+        "statistical_analysis.py",
+        "cost_profile_and_check_conf.py",
+    ],
 )
 def test_example_runs(script, tmp_path):
     env = dict(
