@@ -1,0 +1,170 @@
+"""Hand-computed CBCA matrices ported from the reference suite
+(tests/test_aggregation.py:40-290): cross-support arm lengths and the
+full aggregated volumes for subpix 1 and 2, against the reference's
+closed-form ground truths."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pandora_tpu.datamodel import make_image
+from pandora_tpu.ops.cbca import cross_support
+from pandora_tpu.steps.base import PipelineState, make_step
+
+LEFT = np.array([[5, 1, 15, 7, 3], [10, 9, 11, 9, 6], [1, 18, 4, 5, 9]], np.float32)
+RIGHT = np.array([[1, 5, 1, 15, 7], [2, 10, 9, 11, 9], [3, 1, 18, 4, 5]], np.float32)
+
+
+def test_cross_support_region():
+    """reference test_aggregation.py:214-245 (arms on the raw image)."""
+    csr = np.asarray(cross_support(jnp.asarray(LEFT), 3, 5.0))
+    np.testing.assert_array_equal(
+        csr[:, :, 2], np.array([[0, 0, 0, 0, 0], [1, 1, 1, 1, 1], [1, 1, 1, 2, 1]])
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 3], np.array([[1, 1, 1, 2, 1], [1, 1, 1, 1, 1], [0, 0, 0, 0, 0]])
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 0], np.array([[0, 1, 1, 1, 1], [0, 1, 2, 2, 1], [0, 1, 1, 1, 1]])
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 1], np.array([[1, 1, 1, 1, 0], [2, 2, 1, 1, 0], [1, 1, 1, 1, 0]])
+    )
+
+
+def _aggregate(subpix):
+    left = make_image(LEFT, disp=[-1, 1])
+    right = make_image(RIGHT)
+    mc = make_step(
+        "matching_cost", {"matching_cost_method": "sad", "window_size": 1, "subpix": subpix}
+    )
+    state = PipelineState(left_img=left, right_img=right)
+    mc.run(state)
+    agg = make_step(
+        "aggregation", {"aggregation_method": "cbca", "cbca_intensity": 5.0, "cbca_distance": 3}
+    )
+    agg.run(state)
+    return np.asarray(state.left_cv.cv)
+
+
+def test_compute_cbca():
+    """reference test_aggregation.py:247-288."""
+    got = _aggregate(1)
+    gt = np.array(
+        [
+            [
+                [np.nan, (4 + 4 + 8 + 1) / 4, 0.0],
+                [(0 + 7 + 10 + 1) / 4, (4 + 4 + 14 + 8 + 1 + 2) / 6, 0.0],
+                [(0 + 10 + 6 + 7 + 1 + 0) / 6, (14 + 4 + 8 + 1 + 2 + 2 + 3) / 7, 0.0],
+                [(10 + 6 + 12 + 1 + 0 + 5) / 6, (14 + 8 + 4 + 2 + 2 + 3) / 6, 0.0],
+                [(6 + 12 + 0 + 5) / 4, (8 + 4 + 2 + 3 + 2) / 5, np.nan],
+            ],
+            [
+                [np.nan, (4 + 4 + 8 + 1 + 2 + 17) / 6, 0.0],
+                [(0 + 10 + 7 + 1 + 15 + 3) / 6, (4 + 4 + 14 + 8 + 1 + 2 + 2 + 17 + 14) / 9, 0.0],
+                [(0 + 10 + 6 + 7 + 1 + 0 + 15 + 3 + 13) / 9, (4 + 14 + 8 + 1 + 2 + 2 + 3 + 17 + 14 + 1) / 10, 0.0],
+                [(10 + 6 + 12 + 1 + 0 + 5 + 3 + 13 + 5) / 9, (14 + 8 + 4 + 2 + 2 + 3 + 14 + 1 + 4) / 9, 0.0],
+                [(6 + 12 + 0 + 5 + 13 + 5) / 6, (2 + 8 + 4 + 2 + 3 + 1 + 4) / 7, np.nan],
+            ],
+            [
+                [np.nan, (2 + 8 + 1 + 17) / 4, 0.0],
+                [(7 + 1 + 15 + 3) / 4, (8 + 1 + 2 + 2 + 17 + 14) / 6, 0.0],
+                [(7 + 1 + 0 + 15 + 3 + 13) / 6, (1 + 2 + 2 + 17 + 14 + 1 + 3) / 7, 0.0],
+                [(1 + 0 + 5 + 3 + 13 + 5) / 6, (2 + 2 + 3 + 14 + 1 + 4) / 6, 0.0],
+                [(0 + 5 + 13 + 5) / 4, (2 + 2 + 3 + 1 + 4) / 5, np.nan],
+            ],
+        ],
+        np.float32,
+    )
+    np.testing.assert_allclose(got, gt, rtol=1e-6)
+
+
+def test_compute_cbca_subpixel():
+    """reference test_aggregation.py:91-212 (subpix 2, 5 disparities)."""
+    got = _aggregate(2)
+    gt = np.array(
+        [
+            [
+                [np.nan, np.nan, (4 + 4 + 8 + 1) / 4, (2 + 2 + 4 + 0.5 + 1) / 5, 0.0],
+                [
+                    (0 + 7 + 10 + 1) / 4,
+                    (2 + 12 + 3 + 1.5 + 1) / 5,
+                    (4 + 4 + 14 + 8 + 1 + 2) / 6,
+                    (2 + 2 + 7 + 4 + 0.5 + 1 + 1) / 7,
+                    0.0,
+                ],
+                [
+                    (0 + 10 + 6 + 7 + 1 + 0) / 6,
+                    (2 + 12 + 1 + 3 + 1.5 + 1 + 4) / 7,
+                    (14 + 4 + 8 + 1 + 2 + 2 + 3) / 7,
+                    (2 + 7 + 4 + 4 + 0.5 + 1 + 1) / 7,
+                    0.0,
+                ],
+                [
+                    (10 + 6 + 12 + 1 + 0 + 5) / 6,
+                    (12 + 1 + 8 + 3 + 1.5 + 1 + 4 + 6 + 5.5 + 4.5) / 10,
+                    (14 + 8 + 4 + 2 + 2 + 3) / 6,
+                    (7 + 4 + 0.5 + 1 + 1) / 5,
+                    0.0,
+                ],
+                [(6 + 12 + 0 + 5) / 4, (1 + 8 + 1.5 + 1 + 4) / 5, (8 + 4 + 2 + 3 + 2) / 5, np.nan, np.nan],
+            ],
+            [
+                [np.nan, np.nan, (4 + 4 + 8 + 1 + 2 + 17) / 6, (2 + 2 + 4 + 0.5 + 1 + 1 + 8.5) / 7, 0.0],
+                [
+                    (0 + 10 + 7 + 1 + 15 + 3) / 6,
+                    (2 + 12 + 3 + 1.5 + 1 + 16 + 5.5) / 7,
+                    (4 + 4 + 14 + 8 + 1 + 2 + 2 + 17 + 14) / 9,
+                    (2 + 2 + 7 + 4 + 0.5 + 1 + 1 + 1 + 8.5 + 7) / 10,
+                    0.0,
+                ],
+                [
+                    (0 + 10 + 6 + 7 + 1 + 0 + 15 + 3 + 13) / 9,
+                    (2 + 12 + 1 + 3 + 1.5 + 1 + 4 + 16 + 5.5 + 6) / 10,
+                    (4 + 14 + 8 + 1 + 2 + 2 + 3 + 17 + 14 + 1) / 10,
+                    (2 + 7 + 4 + 4 + 0.5 + 1 + 1 + 8.5 + 7 + 0.5) / 10,
+                    0.0,
+                ],
+                [
+                    (10 + 6 + 12 + 1 + 0 + 5 + 3 + 13 + 5) / 9,
+                    (12 + 1 + 8 + 3 + 1.5 + 1 + 4 + 5.5 + 6 + 4.5) / 10,
+                    (14 + 8 + 4 + 2 + 2 + 3 + 14 + 1 + 4) / 9,
+                    (7 + 4 + 0.5 + 1 + 1 + 7 + 0.5) / 7,
+                    0.0,
+                ],
+                [
+                    (6 + 12 + 0 + 5 + 13 + 5) / 6,
+                    (1 + 8 + 1.5 + 1 + 4 + 6 + 4.5) / 7,
+                    (2 + 8 + 4 + 2 + 3 + 1 + 4) / 7,
+                    np.nan,
+                    np.nan,
+                ],
+            ],
+            [
+                [np.nan, np.nan, (2 + 8 + 1 + 17) / 4, (4 + 0.5 + 1 + 1 + 8.5) / 5, 0.0],
+                [
+                    (7 + 1 + 15 + 3) / 4,
+                    (3 + 1.5 + 1 + 16 + 5.5) / 5,
+                    (8 + 1 + 2 + 2 + 17 + 14) / 6,
+                    (4 + 0.5 + 1 + 1 + 1 + 8.5 + 7) / 7,
+                    0.0,
+                ],
+                [
+                    (7 + 1 + 0 + 15 + 3 + 13) / 6,
+                    (3 + 1.5 + 1 + 4 + 16 + 5.5 + 6) / 7,
+                    (1 + 2 + 2 + 17 + 14 + 1 + 3) / 7,
+                    (4 + 0.5 + 1 + 1 + 8.5 + 7 + 0.5) / 7,
+                    0.0,
+                ],
+                [
+                    (1 + 0 + 5 + 3 + 13 + 5) / 6,
+                    (1 + 8 + 3 + 1.5 + 1 + 4 + 5.5 + 6 + 4.5 + 12) / 10,
+                    (2 + 2 + 3 + 14 + 1 + 4) / 6,
+                    (0.5 + 1 + 1 + 7 + 0.5) / 5,
+                    0.0,
+                ],
+                [(0 + 5 + 13 + 5) / 4, (1.5 + 1 + 4 + 6 + 4.5) / 5, (2 + 2 + 3 + 1 + 4) / 5, np.nan, np.nan],
+            ],
+        ],
+        np.float32,
+    )
+    np.testing.assert_allclose(got, gt, rtol=1e-6)
