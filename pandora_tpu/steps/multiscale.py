@@ -23,7 +23,10 @@ def _range_windows(disp, validity, window_size, marge):
     """Windowed nanmin/nanmax of the valid disparities ± marge
     (fixed_zoom_pyramid.disparity_range, :106-184); border rows/cols and
     invalid pixels are handled by the caller."""
-    invalid = (validity & cst.PANDORA_MSK_PIXEL_INVALID) != 0
+    # invalid = mask-invalid OR naturally-NaN disparity: BOTH get the full
+    # user range in the reference (fixed_zoom_pyramid.py:134-137 derives
+    # invalid_ind from the NaN set of the masked map)
+    invalid = ((validity & cst.PANDORA_MSK_PIXEL_INVALID) != 0) | jnp.isnan(disp)
     masked = jnp.where(invalid, jnp.nan, disp)
     lo = jnp.where(jnp.isnan(masked), jnp.inf, masked)
     hi = jnp.where(jnp.isnan(masked), -jnp.inf, masked)
