@@ -111,13 +111,16 @@ def _use_pallas_census() -> bool:
         return False
 
 
-def _hamming_plane(lsig: jnp.ndarray, rsig: jnp.ndarray) -> jnp.ndarray:
-    """Sum of popcounts of XOR'd signature words → (row, col) float32."""
+def _hamming_plane(lsig: jnp.ndarray, rsig: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Sum of popcounts of XOR'd signature words → (row, col).
+
+    Census costs are <= 13² = 169, so a uint8 result is exact — the scan-
+    layout path requests it to quarter the materialized volume traffic."""
     x = jax.lax.population_count(lsig ^ rsig)
-    return jnp.sum(x, axis=-1).astype(jnp.float32)
+    return jnp.sum(x, axis=-1).astype(dtype)
 
 
-def _scan_integer_disps_rows(lsig_t, rsig_padded_t, n_int, width, chunk: int = 16):
+def _scan_integer_disps_rows(lsig_t, rsig_padded_t, n_int, width, chunk: int = 16, dtype=jnp.float32):
     """Transposed-orientation variant of :func:`_scan_integer_disps`: the
     signatures are (X, H, nwords) and the disparity slide runs along axis
     0 (the sublane-major axis), yielding (n_int, X, H) planes — the col-
@@ -130,14 +133,14 @@ def _scan_integer_disps_rows(lsig_t, rsig_padded_t, n_int, width, chunk: int = 1
 
     def step(_, k0):
         rs = jax.lax.dynamic_slice_in_dim(rsig_padded_t, k0, width + chunk - 1, axis=0)
-        planes = [_hamming_plane(lsig_t, rs[j : j + width]) for j in range(chunk)]
+        planes = [_hamming_plane(lsig_t, rs[j : j + width], dtype) for j in range(chunk)]
         return None, jnp.stack(planes)
 
     _, costs = jax.lax.scan(step, None, jnp.arange(0, n_pad, chunk))
     return costs.reshape(n_pad, *lsig_t.shape[:2])[:n_int]
 
 
-def _scan_integer_disps(lsig, rsig_padded, n_int, width, chunk: int = 16):
+def _scan_integer_disps(lsig, rsig_padded, n_int, width, chunk: int = 16, dtype=jnp.float32):
     """Hamming cost per integer disparity via sliding dynamic slices —
     materialization-friendly: the (n_int, H, W) result is written with
     dense (8,128) tiles per plane.  Used when the CV feeds a Pallas kernel
@@ -152,7 +155,7 @@ def _scan_integer_disps(lsig, rsig_padded, n_int, width, chunk: int = 16):
 
     def step(_, k0):
         rs = jax.lax.dynamic_slice_in_dim(rsig_padded, k0, width + chunk - 1, axis=1)
-        planes = [_hamming_plane(lsig, rs[:, j : j + width]) for j in range(chunk)]
+        planes = [_hamming_plane(lsig, rs[:, j : j + width], dtype) for j in range(chunk)]
         return None, jnp.stack(planes)
 
     _, costs = jax.lax.scan(step, None, jnp.arange(0, n_pad, chunk))
@@ -317,14 +320,19 @@ def census_cost_volume_scan_layouts(
 
     # transposing the small (H, W, words) signatures once is cheap; the
     # volume itself is then produced directly in each scan orientation
+    # uint8 planes when the target dtype is uint8: the stacked (D, H, W)
+    # intermediates then move 4x less HBM than f32
+    plane_dtype = jnp.uint8 if dtype == jnp.uint8 else jnp.float32
     lsig_t = jnp.swapaxes(lsig, 0, 1)
     per_shift_n, per_shift_t = [], []
     for r_im in rights:
         rsig = transform(r_im)
         rsig_p = pad_right_sig(rsig)
-        per_shift_n.append(_scan_integer_disps(lsig, rsig_p, n_int, w))
+        per_shift_n.append(_scan_integer_disps(lsig, rsig_p, n_int, w, dtype=plane_dtype))
         per_shift_t.append(
-            _scan_integer_disps_rows(lsig_t, jnp.swapaxes(rsig_p, 0, 1), n_int, w)
+            _scan_integer_disps_rows(
+                lsig_t, jnp.swapaxes(rsig_p, 0, 1), n_int, w, dtype=plane_dtype
+            )
         )  # (n_int, W, H)
 
     def interleave(per_shift, axis_shape):

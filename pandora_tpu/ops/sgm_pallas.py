@@ -251,9 +251,10 @@ def _run_pass(
     out_dtype,
     interpret: bool,
     absorb: Optional[float] = None,
+    block: int = _BLOCK,
 ):
     l8, d8, x8 = cost_ldx.shape
-    b = _BLOCK
+    b = block if l8 % block == 0 else _BLOCK
     gl = l8 // b
     n_ch = len(shifts)
     half = n_ch // 2
@@ -424,6 +425,7 @@ def sgm_partials_from_layouts(
     p2: float,
     out_dtype: jnp.dtype = jnp.float32,
     interpret: bool = False,
+    block: int = _BLOCK,
 ) -> SgmPartials:
     """Partials from PRE-PADDED scan-layout volumes (constant penalties).
 
@@ -439,11 +441,11 @@ def sgm_partials_from_layouts(
     absorb = 255.0 if cost_rdw.dtype == jnp.uint8 else None
     row_n, row_f, _ = _run_pass(
         cost_rdw, (0, 1, -1, 0, 1, -1), flips_row, p1, p2,
-        None, None, None, False, out_dtype, interpret, absorb,
+        None, None, None, False, out_dtype, interpret, absorb, block,
     )
     col_n, col_f, _ = _run_pass(
         cost_cdh, (0, 0), [(6, False), (7, True)], p1, p2,
-        None, None, None, False, out_dtype, interpret, absorb,
+        None, None, None, False, out_dtype, interpret, absorb, block,
     )
     return SgmPartials(row_n, row_f, col_n, col_f, None, None, tuple(hwd))
 
@@ -544,7 +546,8 @@ def _finish_kernel(n_disp, d_pad, threshold, *refs):
 
 
 def combine_wta_pallas(
-    parts: SgmPartials, threshold, interpret: bool = False, two_d: bool = True
+    parts: SgmPartials, threshold, interpret: bool = False, two_d: bool = True,
+    tile: int = 128,
 ):
     """Fused Σ-partials + WTA + triplet: one read of the partial volumes,
     no materialized total.  Returns (idx int32, c0, c1, c2) cropped to
@@ -564,10 +567,11 @@ def combine_wta_pallas(
     map_sds = jax.ShapeDtypeStruct((h8, w8), jnp.float32)
 
     if two_d:
-        # both tile extents are 128: Mosaic requires the minor block dim
-        # to be lane-width, and both layouts put a spatial axis minor —
-        # (128, D, 128) row tiles pair with (128, D, 128) col tiles
-        tb = 128
+        # both tile extents are lane-width multiples: Mosaic requires the
+        # minor block dim to be 128-divisible, and both layouts put a
+        # spatial axis minor — (T, D, T) row tiles pair with (T, D, T)
+        # col tiles
+        tb = tile if (h8 % tile == 0 and w8 % tile == 0) else 128
         grb, gw = h8 // tb, w8 // tb
         row_spec = pl.BlockSpec(
             (tb, d8, tb), lambda r, c: (r, 0, c), memory_space=pltpu.VMEM
