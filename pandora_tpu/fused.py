@@ -278,10 +278,13 @@ def _census_sgm_fast_path(
         left, right, dmin, dmax, subpix, window_size, dtype,
         left_invalid=_invalid_bool(left_msk, window_size),
         right_invalid=_invalid_bool(right_msk, window_size),
+        interpret=_INTERPRET,
     )
+    # block=16 halves the grid-step count of the scan passes (measured
+    # ~8% faster than 8, scripts/sweep_kernels.py; 32 regresses)
     parts = sgm_partials_from_layouts(
         cost_rdw, cost_cdh, hwd, float(p1), float(p2), out_dtype=out_dtype,
-        interpret=_INTERPRET,
+        interpret=_INTERPRET, block=16,
     )
     idx, c0, c1, c2 = combine_wta_pallas(parts, threshold, interpret=_INTERPRET)
 

@@ -22,6 +22,8 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .shift import shift_subpix
 
@@ -102,7 +104,17 @@ def census_transform_pallas(im: jnp.ndarray, win: int, interpret: bool = False) 
     return jnp.stack([o[:h] for o in outs], axis=-1)
 
 
-def _use_pallas_census() -> bool:
+def _use_pallas_census(window_size: int = 5) -> bool:
+    """Compiled-Pallas census is gated to single-word windows (3, 5).
+
+    Mosaic (as shipped on this TPU runtime) miscompiles kernels whose
+    accumulated bit-pack expression exceeds ~26 slice-compare terms: for
+    window >= 7 the compiled signatures differ from the XLA formulation
+    (interpret mode is correct, association/alignment/dtype variants all
+    reproduce it — see tests/test_tpu_hw.py::test_census_transform_words).
+    win=5 (25 terms) sits under the threshold and is verified bit-exact."""
+    if window_size * window_size > 32:
+        return False
     try:
         import jax
 
@@ -191,7 +203,7 @@ def census_cost_volume(
 
     transform = (
         (lambda im: census_transform_pallas(im, window_size))
-        if _use_pallas_census()
+        if _use_pallas_census(window_size)
         else (lambda im: census_transform(im, window_size, window_size))
     )
     lsig = transform(left)
@@ -254,6 +266,139 @@ def census_cmax(window_size: int) -> float:
 U8_INVALID = 255
 
 
+def _cv_rdw_kernel(
+    n_disp, d8, subpix, n_words, dmin, hw, h, w, block, invalid_u8, has_mask, *refs
+):
+    """Grid step: one (B, D8, W8) row-layout cost block from signature
+    lines — Hamming + validity + input-mask sentinel in registers, the
+    volume is written to HBM exactly once.
+
+    refs: lsig words (B, W8) i32, per-shift rsig words (B, WP) i32,
+    [linv (B, W8) i32, per-shift rinv (B, WP) i32], out (B, D8, W8) u8."""
+    import jax
+
+    it = iter(refs[:-1])
+    out_ref = refs[-1]
+    lw = [next(it)[...] for _ in range(n_words)]
+    rw = [[next(it)[...] for _ in range(n_words)] for _ in range(subpix)]
+    if has_mask:
+        linv = next(it)[...]
+        rinv = [next(it)[...] for _ in range(subpix)]
+    g = pl.program_id(0)
+    bsz, w8 = lw[0].shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bsz, w8), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (bsz, w8), 0) + g * block
+    row_ok = (row >= hw) & (row < h - hw)
+    inval_sent = jnp.full((bsz, w8), invalid_u8, jnp.int32)
+    for k in range(d8):
+        if k >= n_disp:
+            out_ref[:, k, :] = inval_sent.astype(out_ref.dtype)
+            continue
+        i, dd = k % subpix, k // subpix
+        acc = jax.lax.population_count(lw[0] ^ rw[i][0][:, dd : dd + w8])
+        for wd in range(1, n_words):
+            acc = acc + jax.lax.population_count(lw[wd] ^ rw[i][wd][:, dd : dd + w8])
+        right_x = col + (dmin + dd)
+        ok = row_ok & (col >= hw) & (col < w - hw) & (right_x >= hw)
+        if i > 0:
+            ok = ok & (right_x < w - hw - 1)
+        else:
+            ok = ok & (right_x < w - hw)
+        if has_mask:
+            iv = (linv | rinv[i][:, dd : dd + w8]) != 0
+            ok = ok & ~iv
+        out_ref[:, k, :] = jnp.where(ok, acc, inval_sent).astype(out_ref.dtype)
+
+
+def census_cv_rdw_pallas(
+    lsig: jnp.ndarray,
+    rsigs_p: Sequence[jnp.ndarray],
+    dmin: int,
+    n_disp: int,
+    subpix: int,
+    window_size: int,
+    hwd,
+    dtype=jnp.uint8,
+    left_invalid=None,
+    right_invalids=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row-scan-layout census cost volume (H8, D8, W8) in ONE Pallas pass.
+
+    ``lsig``: (H, W, nwords) i32 left signatures; ``rsigs_p``: per-subpix
+    right signatures already column-aligned so disparity k reads the
+    static lane slice [dd : dd+W] (the pad_right_sig convention).  The
+    Hamming popcount, the reference validity bounds (census.cpp:132-158),
+    the cv_masked input-mask invalidation and the grid padding all happen
+    in registers — the volume hits HBM exactly once (the XLA chain in
+    :func:`census_cost_volume_scan_layouts` materializes it ~3x)."""
+    from functools import partial as _partial
+
+    h, w = hwd[0], hwd[1]
+    n_words = lsig.shape[-1]
+    hw_off = window_size // 2
+    b = 8
+    d_tile = 32 if dtype == jnp.uint8 else 16
+    h8 = -(-h // 128) * 128
+    w8 = -(-w // 128) * 128
+    d8 = -(-n_disp // d_tile) * d_tile
+    invalid_u8 = U8_INVALID if dtype == jnp.uint8 else None
+    if invalid_u8 is None:
+        raise ValueError("census_cv_rdw_pallas emits uint8 volumes only")
+
+    # lane-pad every signature plane; rows pad to the full grid height.
+    # wp covers the deepest static slice dd + w8 (dd <= d8)
+    wp = -(-(w8 + d8) // 128) * 128
+
+    def prep(plane, width):  # (Hx, Wx) -> (H8, width) i32
+        p = plane.astype(jnp.int32)
+        return jnp.pad(
+            p, ((0, h8 - p.shape[0]), (0, max(0, width - p.shape[1])))
+        )[:, :width]
+
+    args = [prep(lsig[..., wd], w8) for wd in range(n_words)]
+    for rs in rsigs_p:
+        args.extend(prep(rs[..., wd], wp) for wd in range(n_words))
+    has_mask = left_invalid is not None or right_invalids is not None
+    if has_mask:
+        li = (
+            left_invalid
+            if left_invalid is not None
+            else jnp.zeros((h, w), jnp.int32)
+        )
+        args.append(prep(li, w8))
+        for ri in right_invalids:
+            args.append(prep(ri, wp))
+
+    lspec = pl.BlockSpec((b, w8), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((b, wp), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    in_specs = [lspec] * n_words + [rspec] * (n_words * subpix)
+    if has_mask:
+        in_specs += [lspec] + [rspec] * len(right_invalids)
+    out_spec = pl.BlockSpec((b, d8, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _partial(
+            _cv_rdw_kernel,
+            n_disp,
+            d8,
+            subpix,
+            n_words,
+            dmin,
+            hw_off,
+            h,
+            w,
+            b,
+            invalid_u8,
+            has_mask,
+        ),
+        grid=(h8 // b,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((h8, d8, w8), dtype),
+        interpret=interpret,
+    )(*args)
+
+
 def census_cost_volume_scan_layouts(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -264,6 +409,8 @@ def census_cost_volume_scan_layouts(
     dtype: jnp.dtype = jnp.uint8,
     left_invalid=None,
     right_invalid=None,
+    col_layout: bool = True,
+    interpret: bool = False,
 ):
     """Census cost volume directly in BOTH SGM scan layouts:
 
@@ -300,9 +447,18 @@ def census_cost_volume_scan_layouts(
     d8 = -(-n_disp // d_tile) * d_tile
     invalid = U8_INVALID if dtype == jnp.uint8 else _SUPER
 
+    # the single-pass TRANSFORM kernel is gated to 1-word windows (Mosaic
+    # bug, _use_pallas_census); the VOLUME kernel below is safe for every
+    # window — it consumes whichever signatures are correct on this device
+    use_cv_kernel = interpret
+    if not use_cv_kernel:
+        try:
+            use_cv_kernel = jax.devices()[0].platform not in ("cpu", "gpu")
+        except Exception:
+            use_cv_kernel = False
     transform = (
-        (lambda im: census_transform_pallas(im, window_size))
-        if _use_pallas_census()
+        (lambda im: census_transform_pallas(im, window_size, interpret=interpret))
+        if (_use_pallas_census(window_size) or interpret)
         else (lambda im: census_transform(im, window_size, window_size))
     )
     lsig = transform(left)
@@ -318,22 +474,64 @@ def census_cost_volume_scan_layouts(
             return rsig_p[:, start0:]
         return jnp.pad(rsig_p, ((0, 0), (-start0, 0), (0, 0)))
 
+    if dtype == jnp.uint8 and use_cv_kernel:
+        # one-pass volume kernel: Hamming + validity + input-mask sentinel
+        # in registers, volume written once; the col layout is ONE XLA u8
+        # transpose (measured faster than a second Hamming volume from
+        # transposed signatures, scripts/sweep_census.py)
+        rsig_ps = [pad_right_sig(transform(r_im)) for r_im in rights]
+        rinvs = None
+        if left_invalid is not None or right_invalid is not None:
+            from .cost_volume import pad_for_offset_scan
+
+            base = [
+                right_invalid
+                if right_invalid is not None
+                else jnp.zeros((h, w), jnp.int32)
+            ]
+            if subpix > 1:
+                if right_invalid is not None:
+                    base.append(right_invalid[:, :-1] | right_invalid[:, 1:])
+                else:
+                    base.append(jnp.zeros((h, w - 1), jnp.int32))
+            padded = [
+                pad_for_offset_scan(m.astype(jnp.int32), dmin, dmax, w)
+                for m in base
+            ]
+            rinvs = [padded[min(i, len(padded) - 1)] for i in range(subpix)]
+        cost_rdw = census_cv_rdw_pallas(
+            lsig,
+            rsig_ps,
+            dmin,
+            n_disp,
+            subpix,
+            window_size,
+            (h, w),
+            dtype,
+            left_invalid,
+            rinvs,
+            interpret,
+        )
+        cost_cdh = jnp.transpose(cost_rdw, (2, 1, 0)) if col_layout else None
+        return cost_rdw, cost_cdh, (h, w, n_disp)
+
     # transposing the small (H, W, words) signatures once is cheap; the
     # volume itself is then produced directly in each scan orientation
     # uint8 planes when the target dtype is uint8: the stacked (D, H, W)
     # intermediates then move 4x less HBM than f32
     plane_dtype = jnp.uint8 if dtype == jnp.uint8 else jnp.float32
-    lsig_t = jnp.swapaxes(lsig, 0, 1)
+    lsig_t = jnp.swapaxes(lsig, 0, 1) if col_layout else None
     per_shift_n, per_shift_t = [], []
     for r_im in rights:
         rsig = transform(r_im)
         rsig_p = pad_right_sig(rsig)
         per_shift_n.append(_scan_integer_disps(lsig, rsig_p, n_int, w, dtype=plane_dtype))
-        per_shift_t.append(
-            _scan_integer_disps_rows(
-                lsig_t, jnp.swapaxes(rsig_p, 0, 1), n_int, w, dtype=plane_dtype
-            )
-        )  # (n_int, W, H)
+        if col_layout:
+            per_shift_t.append(
+                _scan_integer_disps_rows(
+                    lsig_t, jnp.swapaxes(rsig_p, 0, 1), n_int, w, dtype=plane_dtype
+                )
+            )  # (n_int, W, H)
 
     def interleave(per_shift, axis_shape):
         stacked = jnp.stack(per_shift, axis=1)  # (n_int, subpix, L, X)
@@ -341,7 +539,7 @@ def census_cost_volume_scan_layouts(
         return cv  # (D, L, X)
 
     cv_dhw = interleave(per_shift_n, (h, w))  # (D, H, W)
-    cv_dwh = interleave(per_shift_t, (w, h))  # (D, W, H)
+    cv_dwh = interleave(per_shift_t, (w, h)) if col_layout else None  # (D, W, H)
 
     # ---- validity pattern (reference loop bounds, census.cpp:132-158) ----
     cols = jnp.arange(w)[:, None]  # (W, 1)
@@ -357,8 +555,12 @@ def census_cost_volume_scan_layouts(
     mask_dhw = jnp.broadcast_to(
         valid_wd.T[:, None, :] & rows_valid[None, :, None], (n_disp, h, w)
     )  # (D, H, W)
-    mask_dwh = jnp.broadcast_to(
-        valid_wd.T[:, :, None] & rows_valid[None, None, :], (n_disp, w, h)
+    mask_dwh = (
+        jnp.broadcast_to(
+            valid_wd.T[:, :, None] & rows_valid[None, None, :], (n_disp, w, h)
+        )
+        if col_layout
+        else None
     )  # (D, W, H)
 
     # ---- input-mask invalidation (cv_masked, matching_cost.py:770-872) ---
@@ -388,19 +590,22 @@ def census_cost_volume_scan_layouts(
             dd = kk // subpix
             inval_planes.append(linv | gathered[i][dd])
         mask_dhw = mask_dhw & ~jnp.stack(inval_planes)
-        mask_dwh = mask_dwh & ~jnp.stack([p.T for p in inval_planes])
+        if col_layout:
+            mask_dwh = mask_dwh & ~jnp.stack([p.T for p in inval_planes])
 
     cv_dhw = jnp.where(mask_dhw, cv_dhw.astype(dtype), inval)
-    cv_dwh = jnp.where(mask_dwh, cv_dwh.astype(dtype), inval)
 
     # major-axis moveaxis (tile addresses permute, no intra-tile shuffle)
     cost_rdw = jnp.moveaxis(cv_dhw, 0, 1)  # (H, D, W)
-    cost_cdh = jnp.moveaxis(cv_dwh, 0, 1)  # (W, D, H)
     cost_rdw = jnp.pad(
         cost_rdw,
         ((0, h8 - h), (0, d8 - n_disp), (0, w8 - w)),
         constant_values=invalid,
     )
+    if not col_layout:
+        return cost_rdw, None, (h, w, n_disp)
+    cv_dwh = jnp.where(mask_dwh, cv_dwh.astype(dtype), inval)
+    cost_cdh = jnp.moveaxis(cv_dwh, 0, 1)  # (W, D, H)
     cost_cdh = jnp.pad(
         cost_cdh,
         ((0, w8 - w), (0, d8 - n_disp), (0, h8 - h)),

@@ -91,20 +91,21 @@ def _shift_lane_i32(a, dc, fill=-1):
     return jnp.concatenate([a[..., 1:], pad], axis=-1)
 
 
-def _to_f32(x):
-    """Load-cast to f32; Mosaic has no direct uint8->f32 lowering, so
-    uint8 costs hop through int16 (exact for the 0..255 range)."""
+def _to_f32(x, cdt=jnp.float32):
+    """Load-cast to the compute dtype; Mosaic has no direct uint8->float
+    lowering, so uint8 costs hop through int16 (exact for 0..255)."""
     if x.dtype == jnp.uint8:
-        return x.astype(jnp.int16).astype(jnp.float32)
-    return x.astype(jnp.float32)
+        return x.astype(jnp.int16).astype(jnp.float32).astype(cdt)
+    return x.astype(jnp.float32).astype(cdt)
 
 
 def _store_cast(x, dtype):
-    """Store-cast f32 L-values.  uint8 partials clamp to 255: valid
+    """Store-cast f32/bf16 L-values.  uint8 partials clamp to 255: valid
     directional sums are exact small integers, invalid ones (>= 255 per
     direction thanks to the absorb select) saturate — totals of clamped
     partials still separate (4*255 = 1020 vs valid <= 8*(cmax+P2))."""
     if dtype == jnp.uint8:
+        x = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
         return jnp.clip(x, 0.0, 255.0).astype(jnp.int16).astype(jnp.uint8)
     return x.astype(dtype)
 
@@ -116,7 +117,7 @@ def _sub_argmin(l, d_pad):
     return jnp.min(jnp.where(l == m, iota, d_pad), axis=0, keepdims=True)
 
 
-def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, *refs):
+def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt, *refs):
     """Grid step: advance ``len(shifts)`` directions _BLOCK lines.
 
     Layout (line, disp, cross): cost_n/cost_f are (B, D, X); carry is
@@ -154,8 +155,8 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, *refs
     prev_seg = [segc_ref[grp] for grp in range(2)] if has_seg else None
     b, d_pad = cost_n_ref.shape[0], cost_n_ref.shape[1]
     for j in range(b):
-        cost_n = _to_f32(cost_n_ref[j])  # line g*B + j, (D, X)
-        cost_f = _to_f32(cost_f_ref[b - 1 - j])  # flipped line
+        cost_n = _to_f32(cost_n_ref[j], cdt)  # line g*B + j, (D, X)
+        cost_f = _to_f32(cost_f_ref[b - 1 - j], cdt)  # flipped line
         if absorb is not None:
             inv_n = cost_n >= absorb
             inv_f = cost_f >= absorb
@@ -184,7 +185,7 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, *refs
             if has_seg:
                 cur = seg_n if grp == 0 else seg_f
                 ps = _shift_lane_i32(prev_seg[grp], dc)
-                msg = msg * (ps == cur)[None, :].astype(jnp.float32)
+                msg = msg * (ps == cur)[None, :].astype(cdt)
             l = cost + msg
             if absorb is not None:
                 l = jnp.where(inv_n if grp == 0 else inv_f, cost, l)
@@ -252,6 +253,7 @@ def _run_pass(
     interpret: bool,
     absorb: Optional[float] = None,
     block: int = _BLOCK,
+    compute_dtype=jnp.float32,
 ):
     l8, d8, x8 = cost_ldx.shape
     b = block if l8 % block == 0 else _BLOCK
@@ -306,12 +308,18 @@ def _run_pass(
         )
         out_specs += [am_n_spec, am_f_spec]
         out_shape += [jax.ShapeDtypeStruct((l8, half, x8), jnp.int32)] * 2
-    scratch = [pltpu.VMEM((n_ch, d8, x8), jnp.float32)]
+    # the bf16 compute dtype is only wired for the scalar-penalty,
+    # segment-free instantiation (the layouts fast path); penalty planes
+    # are f32 and would silently promote the recurrence back to f32
+    cdt = compute_dtype
+    if p1_mode != _P_SCALAR or p2_mode != _P_SCALAR or has_seg:
+        cdt = jnp.float32
+    scratch = [pltpu.VMEM((n_ch, d8, x8), cdt)]
     if has_seg:
         scratch.append(pltpu.VMEM((2, x8), jnp.int32))
 
     outs = pl.pallas_call(
-        partial(_scan_kernel, p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb),
+        partial(_scan_kernel, p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt),
         grid=(gl,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -426,6 +434,7 @@ def sgm_partials_from_layouts(
     out_dtype: jnp.dtype = jnp.float32,
     interpret: bool = False,
     block: int = _BLOCK,
+    compute_dtype=jnp.float32,
 ) -> SgmPartials:
     """Partials from PRE-PADDED scan-layout volumes (constant penalties).
 
@@ -442,10 +451,12 @@ def sgm_partials_from_layouts(
     row_n, row_f, _ = _run_pass(
         cost_rdw, (0, 1, -1, 0, 1, -1), flips_row, p1, p2,
         None, None, None, False, out_dtype, interpret, absorb, block,
+        compute_dtype,
     )
     col_n, col_f, _ = _run_pass(
         cost_cdh, (0, 0), [(6, False), (7, True)], p1, p2,
         None, None, None, False, out_dtype, interpret, absorb, block,
+        compute_dtype,
     )
     return SgmPartials(row_n, row_f, col_n, col_f, None, None, tuple(hwd))
 

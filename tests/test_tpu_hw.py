@@ -75,6 +75,64 @@ def test_pallas_compiled_equals_lax_scan():
 
 
 @requires_tpu
+def test_census_transform_words():
+    """Compiled census signatures == the XLA formulation for every window.
+
+    Guards the Mosaic miscompilation found on TPU v5e: bit-pack chains
+    beyond ~26 slice-compare terms compile wrong, so windows >= 7 (two or
+    more signature words) must route to the XLA transform
+    (census._use_pallas_census gate).  If this test starts passing with
+    the gate removed, the toolchain fixed it."""
+    import jax.numpy as jnp
+
+    from pandora_tpu.ops.census import census_transform, census_cost_volume
+
+    rng = np.random.default_rng(0)
+    im = rng.random((40, 60)).astype(np.float32) * 255
+    for win in (3, 5, 7, 9, 11, 13):
+        # census_cost_volume picks the device transform internally; compare
+        # the full volume against the always-correct XLA signature route
+        left = jnp.asarray(im)
+        right = jnp.asarray(np.roll(im, 2, axis=1))
+        got = census_cost_volume(left, right, -4, 2, 1, win)
+        lsig = census_transform(left, win, win)
+        rsig = census_transform(right, win, win)
+        r, c, k = 20, 30, 3  # interior, in-range probe
+        d = -4 + k
+        want = int(
+            jnp.sum(jax.lax.population_count(lsig[r, c] ^ rsig[r, c + d]))
+        )
+        assert float(got[r, c, k]) == want, f"win={win}"
+
+
+@requires_tpu
+def test_census_cv_kernel_multiword_oracle():
+    """Compiled one-pass CV kernel == brute-force oracle for a 2-word
+    window (win=7) — the volume kernel is safe from the bit-pack chain
+    bug (per-disparity writes bound every expression chain)."""
+    import jax.numpy as jnp
+
+    from emulators import census_cv
+    from pandora_tpu.ops.census import census_cost_volume_scan_layouts
+
+    rng = np.random.default_rng(1)
+    h, w, dmin, dmax, subpix, win = 30, 40, -5, 5, 1, 7
+    left = rng.random((h, w)).astype(np.float32) * 255
+    right = rng.random((h, w)).astype(np.float32) * 255
+    oracle = census_cv(left, right, dmin, dmax, subpix, win)
+    rdw, cdh, _ = census_cost_volume_scan_layouts(
+        jnp.asarray(left), jnp.asarray(right), dmin, dmax, subpix, win, jnp.uint8
+    )
+    n_disp = (dmax - dmin) * subpix + 1
+    got = np.moveaxis(np.asarray(rdw)[:h, :n_disp, :w], 1, -1).astype(np.float32)
+    want = np.where(np.isnan(oracle), 255.0, oracle)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(
+        np.asarray(cdh), np.transpose(np.asarray(rdw), (2, 1, 0))
+    )
+
+
+@requires_tpu
 def test_uint8_scan_layouts_compiled_equal_f32(cones):
     """Compiled uint8 scan-layout fast path == compiled f32 epilogue path
     on the cones pair (disparities and validity masks bit-equal)."""
