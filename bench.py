@@ -91,7 +91,7 @@ def _stage_breakdown(left, right):
     import jax
     import jax.numpy as jnp
 
-    from pandora_tpu.fused import _U8_THRESH
+    from pandora_tpu.fused import _U8P_THRESH as _U8_THRESH
     from pandora_tpu.ops.census import census_cost_volume_scan_layouts
     from pandora_tpu.ops.sgm_pallas import (
         SgmPartials,
@@ -108,7 +108,7 @@ def _stage_breakdown(left, right):
 
     pf = jax.jit(
         lambda r, c: sgm_partials_from_layouts(
-            r, c, (ROWS, COLS, NDISP), 8.0, 32.0, out_dtype=jnp.bfloat16
+            r, c, (ROWS, COLS, NDISP), 8.0, 32.0, out_dtype=jnp.uint8, block=16
         )
     )
     dt_p, parts = _timeit(pf, rdw, cdh)
