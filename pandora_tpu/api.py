@@ -82,8 +82,13 @@ def create_image_from_inputs(img_cfg: Dict[str, Any], disp, roi: Optional[Dict[s
     extras = {}
     for key in ("classif", "segm", "edges"):
         if img_cfg.get(key):
-            arr, *_ = read_raster(img_cfg[key], window=window)
+            arr, _, _, _, names = read_raster(img_cfg[key], window=window)
             extras[key] = arr[0] if key != "classif" else arr
+            if key == "classif" and names:
+                # class names ride the GeoTIFF band descriptions
+                # (img_tools.py:427-437 band_classif coordinate); 3SGM /
+                # ARNN class selection matches against them
+                extras["classif_names"] = tuple(names)
     if isinstance(disp, str):
         grid, *_ = read_raster(disp, window=window)
         disp = grid  # (2, row, col)

@@ -202,9 +202,11 @@ _THRESH = 5.0e11
 # worst-case bf16 rounding of invalid partials)
 _U8_THRESH = 1800.0
 
-# uint8 PARTIAL volumes clamp each directional sum to 255, so invalid
-# totals are exactly 4*255 = 1020 while valid ones stay <= 8*(cmax+P2)
-# <= 677 under the u8-partials gate 3*(cmax+P2) <= 254
+# uint8 PARTIAL volumes: row triples of invalid lines wrap to 253
+# (3*255 = 765 mod 256, sgm_pallas._store_cast bounded path), col singles
+# stay 255, so invalid totals are >= 2*253 + 2*255 = 1016 while valid
+# ones stay <= 8*(cmax+P2) <= 677 under the u8-partials gate
+# 3*(cmax+P2) <= 254
 _U8P_THRESH = 900.0
 
 
