@@ -98,3 +98,59 @@ def test_median_for_intervals_step():
     step._filter_one(disp, None)
     want_inf = np.asarray(nanmedian_window(jnp.asarray(inf_b), 3))
     np.testing.assert_allclose(np.asarray(disp.confidence[:, :, 0]), want_inf, rtol=1e-6)
+
+
+def test_gradient_hand_matrix():
+    """reference test_disparity_denoiser.py:149-176 (get_grad, sigma 0):
+    np.gradient semantics — central differences, one-sided edges."""
+    from pandora_tpu.ops.denoiser import _gradient
+
+    disp = jnp.asarray(np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.float32))
+    gt_y = np.array([[3, 3, 3], [3, 3, 3], [3, 3, 3]], np.float32)
+    gt_x = np.array([[1, 1, 1], [1, 1, 1], [1, 1, 1]], np.float32)
+    np.testing.assert_allclose(np.asarray(_gradient(disp, 0)), gt_y, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(_gradient(disp, 1)), gt_x, atol=1e-7)
+
+
+def test_sliding_window_hand_matrix():
+    """reference test_disparity_denoiser.py:178-219: reflect-padded 3x3
+    window views of a 2x2 map (our (K, H, W) layout, K = dr*3+dc)."""
+    from pandora_tpu.ops.denoiser import _windows
+
+    disp = jnp.asarray(np.array([[1, 2], [4, 5]], np.float32))
+    win = np.asarray(_windows(disp, 3))  # (9, 2, 2)
+    gt = {
+        (0, 0): [[5.0, 4.0, 5.0], [2.0, 1.0, 2.0], [5.0, 4.0, 5.0]],
+        (0, 1): [[4.0, 5.0, 4.0], [1.0, 2.0, 1.0], [4.0, 5.0, 4.0]],
+        (1, 0): [[2.0, 1.0, 2.0], [5.0, 4.0, 5.0], [2.0, 1.0, 2.0]],
+        (1, 1): [[1.0, 2.0, 1.0], [4.0, 5.0, 4.0], [1.0, 2.0, 1.0]],
+    }
+    for (i, j), want in gt.items():
+        got = win[:, i, j].reshape(3, 3)
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-7)
+        # dist-from-center invariance (get_disparity_dist/get_color_dist,
+        # test:220-339): window minus its center value
+        np.testing.assert_allclose(
+            got - got[1, 1], np.asarray(want) - want[1][1], atol=1e-7
+        )
+
+
+def test_invalid_center_unchanged():
+    """reference test_disparity_denoiser.py:911-990: the filter never
+    rewrites a pixel whose validity mask flags it invalid."""
+    disp = np.array(
+        [[2, 4, 8, 5, 6], [7, 82, 3, 33, 4], [4, 8, 21, 13, 4], [3, 2, 8, 1, 3], [3, 6, 2, 3, 2]],
+        np.float32,
+    )
+    vmask = np.zeros((5, 5), np.uint16)
+    vmask[2, 2] = cst.PANDORA_MSK_PIXEL_INVALID
+    color = (RNG.random((5, 5)) * 9).astype(np.float32)
+    out = np.asarray(
+        denoise_disparity(
+            jnp.asarray(disp), jnp.asarray(color), jnp.asarray(vmask),
+            cst.PANDORA_MSK_PIXEL_INVALID, 3, 2.0, 100.0, 12.0, 1.5,
+        )
+    )
+    np.testing.assert_allclose(out[2, 2], disp[2, 2], rtol=1e-7)
+    # valid neighbors DO move
+    assert not np.allclose(out[1, 1], disp[1, 1])
