@@ -105,3 +105,71 @@ def test_subpix_cones_gate(cones, subpix):
         }
     )
     assert error_rate(np.asarray(ld.disparity_map), cones["gt_left"], 1) <= 0.20
+
+
+@pytest.mark.functional
+def test_rgb_band_pipeline_gate(cones):
+    """reference test_pandora.py:587-614 (test_main_with_rgb_image): the
+    basic zncc pipeline on the RGB pair correlating the green band, bad-1
+    <= 0.25 vs cones ground truth."""
+    cfg = {
+        "input": {
+            "left": {"img": f"{BASE}/left_rgb.tif", "disp": [-60, 0], "nodata": "NaN"},
+            "right": {"img": f"{BASE}/right_rgb.tif", "nodata": "NaN"},
+        },
+        "pipeline": {
+            "matching_cost": {
+                "matching_cost_method": "zncc",
+                "window_size": 5,
+                "subpix": 2,
+                "band": "green",
+            },
+            "disparity": {"disparity_method": "wta", "invalid_disparity": -9999},
+            "refinement": {"refinement_method": "vfit"},
+            "filter": {"filter_method": "median", "filter_size": 3},
+        },
+    }
+    validated, pipeline = check_conf(cfg)
+    left, right = pandora_tpu.images_from_config(validated["input"])
+    ld, _, _ = pandora_tpu.run(pipeline, left, right)
+    d = np.where(np.asarray(ld.disparity_map) == -9999, np.nan, np.asarray(ld.disparity_map))
+    assert error_rate(d, cones["gt_left"]) <= 0.25
+
+
+@pytest.mark.functional
+def test_rgb_band_mask_validation_gate(cones):
+    """reference test_pandora.py:686-723 (validation with rgb + mask): the
+    accurate cross-checking pipeline on the green band with the occlusion
+    mask on the left image, bad-1 <= 0.25."""
+    cfg = {
+        "input": {
+            "left": {
+                "img": f"{BASE}/left_rgb.tif",
+                "disp": [-60, 0],
+                "nodata": "NaN",
+                "mask": f"{BASE}/occlusion.png",
+            },
+            "right": {"img": f"{BASE}/right_rgb.tif", "disp": [0, 60], "nodata": "NaN"},
+        },
+        "pipeline": {
+            "matching_cost": {
+                "matching_cost_method": "zncc",
+                "window_size": 5,
+                "subpix": 2,
+                "band": "green",
+            },
+            "cost_volume_confidence": {"confidence_method": "std_intensity"},
+            "disparity": {"disparity_method": "wta", "invalid_disparity": -9999},
+            "refinement": {"refinement_method": "vfit"},
+            "filter": {"filter_method": "median", "filter_size": 3},
+            "validation": {
+                "validation_method": "cross_checking_accurate",
+                "cross_checking_threshold": 1.0,
+            },
+        },
+    }
+    validated, pipeline = check_conf(cfg)
+    left, right = pandora_tpu.images_from_config(validated["input"])
+    ld, _, _ = pandora_tpu.run(pipeline, left, right)
+    d = np.where(np.asarray(ld.disparity_map) == -9999, np.nan, np.asarray(ld.disparity_map))
+    assert error_rate(d, cones["gt_left"]) <= 0.25
