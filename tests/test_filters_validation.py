@@ -129,3 +129,40 @@ def test_interpolate_occlusion_mc_cnn_left_then_right():
     v[0, 0] = cst.PANDORA_MSK_PIXEL_OCCLUSION
     d3, _ = interpolate_occlusion_mc_cnn(jnp.asarray(disp), jnp.asarray(v))
     assert np.asarray(d3)[0, 0] == 1.0
+
+
+def test_fast_equals_accurate_cross_checking():
+    """reference functional_tests/test_validation.py:155-192: the fast and
+    accurate cross-checking methods produce STRICTLY equal left disparity
+    maps (census and ssd), and fast mode leaves no right products."""
+    import pandora_tpu
+    from pandora_tpu.config import check_conf
+
+    base = "/root/reference/tests/pandora"
+    for method in ("census", "ssd"):
+        results = {}
+        for validation in ("cross_checking_fast", "cross_checking_accurate"):
+            cfg = {
+                "input": {
+                    "left": {"img": f"{base}/left.png", "disp": [-60, 0]},
+                    "right": {"img": f"{base}/right.png"},
+                },
+                "pipeline": {
+                    "matching_cost": {"matching_cost_method": method},
+                    "disparity": {"disparity_method": "wta", "invalid_disparity": "NaN"},
+                    "validation": {"validation_method": validation},
+                },
+            }
+            if validation == "cross_checking_accurate":
+                cfg["input"]["right"]["disp"] = [0, 60]
+            validated, pipeline = check_conf(cfg)
+            left_img, right_img = pandora_tpu.images_from_config(validated["input"])
+            left, right, _ = pandora_tpu.run(pipeline, left_img, right_img)
+            results[validation] = (left, right)
+        d_fast = np.asarray(results["cross_checking_fast"][0].disparity_map)
+        d_acc = np.asarray(results["cross_checking_accurate"][0].disparity_map)
+        np.testing.assert_array_equal(
+            np.nan_to_num(d_fast, nan=-1e9), np.nan_to_num(d_acc, nan=-1e9)
+        )
+        # fast mode wipes derived right products (validation.py fast mode)
+        assert results["cross_checking_fast"][1] is None
