@@ -43,10 +43,15 @@ def _cbca_apply(
 
     def masked_median_inf(im, invalid):
         """mask → NaN, 3×3 median on valid pixels, NaN → inf
-        (cbca.py computes_cross_supports)."""
+        (cbca.py computes_cross_supports).
+
+        NOTE: jnp.nan_to_num(..., nan=inf) would CLAMP the substituted inf
+        to float32 max (a finite value), silently giving masked pixels
+        minimum 3×3 cross arms — use an explicit where so cross_support's
+        isfinite test keeps them at zero arms."""
         m = jnp.where(invalid, jnp.nan, im) if invalid is not None else im
         med = jnp.where(jnp.isnan(m), jnp.nan, nanmedian_window(m, 3))
-        return jnp.nan_to_num(med, nan=jnp.inf)
+        return jnp.where(jnp.isnan(med), jnp.inf, med)
 
     def crop(a):
         return a[offset : a.shape[0] - offset, offset : a.shape[1] - offset] if offset else a

@@ -168,3 +168,48 @@ def test_compute_cbca_subpixel():
         np.float32,
     )
     np.testing.assert_allclose(got, gt, rtol=1e-6)
+
+
+def test_compute_cbca_with_invalid_cost():
+    """reference test_aggregation.py:305-391: input masks NaN costs before
+    aggregation; masked pixels are excluded from every cross window and
+    stay NaN in the aggregated volume (disp=0 plane ground truth)."""
+    left_data = np.array(
+        [[5, 1, 15, 7, 3], [10, 9, 11, 9, 6], [1, 18, 4, 5, 9], [5, 1, 15, 7, 3]],
+        np.float32,
+    )
+    left_msk = np.array(
+        [[0, 1, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 1, 0], [3, 0, 0, 0, 0]], np.int16
+    )
+    right_data = np.array(
+        [[1, 5, 1, 15, 7], [2, 10, 9, 11, 9], [3, 1, 18, 4, 5], [1, 5, 1, 15, 7]],
+        np.float32,
+    )
+    right_msk = np.array(
+        [[0, 0, 0, 0, 0], [0, 0, 5, 1, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0]], np.int16
+    )
+    left = make_image(left_data, disp=[-1, 1], msk=left_msk)
+    right = make_image(right_data, msk=right_msk)
+    state = PipelineState(left_img=left, right_img=right)
+    make_step(
+        "matching_cost", {"matching_cost_method": "sad", "window_size": 1, "subpix": 1}
+    ).run(state)
+    make_step(
+        "aggregation", {"aggregation_method": "cbca", "cbca_intensity": 5.0, "cbca_distance": 3}
+    ).run(state)
+    got = np.asarray(state.left_cv.cv)[:, :, 1]
+    gt = np.array(
+        [
+            [(4 + 8 + 1) / 3, np.nan, (14 + 8) / 2, (8 + 14 + 4) / 3, (4 + 8 + 3) / 3],
+            [(8 + 4 + 1 + 2 + 17) / 5, (8 + 1 + 2 + 17 + 14) / 5, np.nan, np.nan, (8 + 4 + 3 + 4 + 4 + 8) / 6.0],
+            [
+                (2 + 8 + 1 + 17) / 4,
+                (8 + 1 + 2 + 17 + 14 + 4 + 14) / 7,
+                (17 + 14 + 4 + 14 + 8) / 5,
+                np.nan,
+                (4 + 3 + 4 + 8) / 4,
+            ],
+            [np.nan, (4 + 2 + 17 + 14 + 14) / 5, (14 + 17 + 14 + 4 + 8) / 5, (14 + 8 + 4) / 3, (4 + 4 + 8) / 3],
+        ]
+    )
+    np.testing.assert_allclose(got, gt, rtol=1e-7)
