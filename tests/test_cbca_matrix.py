@@ -213,3 +213,39 @@ def test_compute_cbca_with_invalid_cost():
         ]
     )
     np.testing.assert_allclose(got, gt, rtol=1e-7)
+
+
+def test_compute_cbca_with_offset():
+    """reference test_aggregation.py:392-484: window 3 crops the crosses
+    to the cost-volume interior (offset_row_col); border ring stays NaN."""
+    left = make_image(
+        np.array(
+            [[5, 1, 15, 7, 3], [10, 9, 11, 9, 6], [1, 18, 4, 5, 9], [5, 1, 15, 7, 3]],
+            np.float32,
+        ),
+        disp=[-1, 1],
+    )
+    right = make_image(
+        np.array(
+            [[1, 5, 1, 15, 7], [2, 10, 9, 11, 9], [3, 1, 18, 4, 5], [1, 5, 1, 15, 7]],
+            np.float32,
+        )
+    )
+    state = PipelineState(left_img=left, right_img=right)
+    make_step(
+        "matching_cost", {"matching_cost_method": "sad", "window_size": 3, "subpix": 1}
+    ).run(state)
+    make_step(
+        "aggregation", {"aggregation_method": "cbca", "cbca_intensity": 5.0, "cbca_distance": 3}
+    ).run(state)
+    got = np.asarray(state.left_cv.cv)
+    nanrow = [[np.nan] * 3] * 5
+    mid = [
+        [np.nan, np.nan, np.nan],
+        [np.nan, (66.0 + 63 + 66 + 63) / 4, 0.0],
+        [55.0, (66 + 63 + 52 + 66 + 63 + 52) / 6, 0.0],
+        [55.0, (63 + 63 + 52 + 52) / 4, np.nan],
+        [np.nan, np.nan, np.nan],
+    ]
+    gt = np.array([nanrow, mid, mid, nanrow])
+    np.testing.assert_allclose(got, gt, rtol=1e-7)
