@@ -160,3 +160,29 @@ def test_interpolate_mismatch_sgm():
     )
     np.testing.assert_array_equal(np.asarray(v2), gt_m)
     np.testing.assert_array_equal(np.asarray(d2), gt_d)
+
+
+def test_distance_lr_rl_confidence_matrix():
+    """reference test_validation.py:142-253 (test_distance_lr_rl): the
+    |dR+dL| consistency measure is NaN on masked/nodata pixels and exact
+    on the two valid ones (0.0 and 1.0)."""
+    B = cst.PANDORA_MSK_PIXEL_LEFT_NODATA_OR_BORDER
+    dl = np.array(
+        [[np.nan] * 4, [np.nan, 1, -1, np.nan], [np.nan] * 4], np.float32
+    )
+    dr = np.array(
+        [[np.nan] * 4, [np.nan, 0, -1, np.nan], [np.nan] * 4], np.float32
+    )
+    vl = np.array([[B] * 4, [B, 0, 0, B], [B] * 4], np.uint16)
+    vmask, conf = cross_checking(
+        jnp.asarray(dl), jnp.asarray(dr), jnp.asarray(vl), -1, 1, 0.0
+    )
+    gt_conf = np.array(
+        [[np.nan] * 4, [np.nan, 0.0, 1.0, np.nan], [np.nan] * 4], np.float32
+    )
+    np.testing.assert_array_equal(np.asarray(conf), gt_conf)
+    # pixel (1,2): |dR(1)+dL(-1)| = 1 > 0 -> flagged; ∃d: rint(dR(c+d))==-d
+    # (d=1 reads dR(3)=NaN -> no; d=-1 reads dR(1)=0 != 1 -> no;
+    #  d=0 reads dR(2)=-1 != 0 -> no) -> occlusion
+    assert np.asarray(vmask)[1, 2] & cst.PANDORA_MSK_PIXEL_OCCLUSION
+    assert np.asarray(vmask)[1, 1] == 0
