@@ -186,3 +186,46 @@ def test_distance_lr_rl_confidence_matrix():
     #  d=0 reads dR(2)=-1 != 0 -> no) -> occlusion
     assert np.asarray(vmask)[1, 2] & cst.PANDORA_MSK_PIXEL_OCCLUSION
     assert np.asarray(vmask)[1, 1] == 0
+
+
+def test_interpolate_mismatch_and_occlusion_sgm_matrix():
+    """reference test_validation.py:616-694: combined mismatch-then-
+    occlusion SGM interpolation — mismatches touching an occluded pixel
+    become (filled) occlusions, others take the 8-direction median, then
+    occlusions take the second-smallest |d| fill."""
+    O = cst.PANDORA_MSK_PIXEL_OCCLUSION
+    M = cst.PANDORA_MSK_PIXEL_MISMATCH
+    B = cst.PANDORA_MSK_PIXEL_LEFT_NODATA_OR_BORDER
+    I = cst.PANDORA_MSK_PIXEL_RIGHT_INCOMPLETE_DISPARITY_RANGE
+    S = cst.PANDORA_MSK_PIXEL_STOPPED_INTERPOLATION
+    V = cst.PANDORA_MSK_PIXEL_IN_VALIDITY_MASK_LEFT
+    FO = cst.PANDORA_MSK_PIXEL_FILLED_OCCLUSION
+    FM = cst.PANDORA_MSK_PIXEL_FILLED_MISMATCH
+
+    disp = np.array(
+        [[0, 1, -2, -1, -2], [1, 0, 1, 0, 0], [2, 1, -1, -2, -1], [1, -1, 1, -1, -1]],
+        np.float32,
+    )
+    msk = np.array(
+        [[B, I, 0, S, O], [0, 0, M, 0, 0], [0, S, M, V, M], [O, M, 0, 0, 0]],
+        np.uint16,
+    )
+    d, v = interpolate_mismatch_sgm(jnp.asarray(disp), jnp.asarray(msk))
+    d, v = interpolate_occlusion_sgm(d, v)
+
+    gt_mask = np.array(
+        [[B, I, 0, S, FO], [0, 0, FM, 0, 0], [0, S, FM, V, FM], [FO, FO, 0, 0, 0]],
+        np.uint16,
+    )
+    np.testing.assert_array_equal(np.asarray(v), gt_mask)
+
+    gt_disp = np.array(
+        [
+            [0, 1, -2, -1, 0],
+            [1, 0, np.median([1, 1, 0, 1, -2, -1, 0, -1]), 0, 0],
+            [2, 1, np.median([1, 1, 0, -2, 0, -1]), -2, np.median([-1, -1, 1, 0, 0])],
+            [1, 1, 1, -1, -1],
+        ],
+        np.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(d), gt_disp)
