@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import pandora_tpu.constants as cst
+from pandora_tpu.datamodel import make_image
 from pandora_tpu.ops.filters import bilateral_filter_disparity, median_filter_disparity
 
 INV = cst.PANDORA_MSK_PIXEL_INVALID
@@ -221,3 +222,98 @@ def test_bilateral_with_nans():
     filtered = float(np.nansum(disp * w) / np.sum(w))
     assert abs(got[2, 2] - filtered) < 1e-5
     assert np.isnan(got[1, 1])
+
+
+INT_INF = np.array(
+    [[4, 5, 7, 7, 8], [5, 84, 0, 35, 4], [2, 7, 21, 10, 1], [5, 0, 8, 1, 3]], np.float32
+)
+INT_SUP = np.array(
+    [[6, 7, 9, 9, 10], [7, 86, 2, 37, 6], [4, 10, 23, 12, 3], [7, 2, 10, 3, 5]], np.float32
+)
+
+
+def _interval_ds(bands, names):
+    from pandora_tpu.datamodel import DisparityMap  # noqa: PLC0415
+
+    return DisparityMap(
+        disparity_map=jnp.zeros((4, 5), jnp.float32),
+        validity_mask=jnp.zeros((4, 5), jnp.uint16),
+        confidence=jnp.stack([jnp.asarray(b) for b in bands], axis=2),
+        indicator_names=names,
+    )
+
+
+def test_median_for_intervals_matrix():
+    """reference test_filter.py:696-727: 3x3 nanmedian on the interval
+    bands, borders untouched."""
+    from pandora_tpu.steps.base import PipelineState, make_step
+
+    ds = _interval_ds(
+        (INT_INF, INT_SUP),
+        ("confidence_from_interval_bounds_inf", "confidence_from_interval_bounds_sup"),
+    )
+    img = make_image(np.zeros((4, 5), np.float32))
+    state = PipelineState(left_img=img, right_img=img, left_disparity=ds)
+    make_step("filter", {"filter_method": "median_for_intervals", "filter_size": 3}).run(state)
+    gt_inf = np.array(
+        [[4, 5, 7, 7, 8], [5, 5, 7, 7, 4], [2, 5, 8, 4, 1], [5, 0, 8, 1, 3]], np.float32
+    )
+    gt_sup = np.array(
+        [[6, 7, 9, 9, 10], [7, 7, 10, 9, 6], [4, 7, 10, 6, 3], [7, 2, 10, 3, 5]], np.float32
+    )
+    np.testing.assert_array_equal(np.asarray(ds.confidence[:, :, 0]), gt_inf)
+    np.testing.assert_array_equal(np.asarray(ds.confidence[:, :, 1]), gt_sup)
+
+
+def test_median_for_intervals_with_regularization_matrix():
+    """reference test_filter.py:729-801: regularization re-run groups
+    ambiguous segments (threshold 0.8, depth 2, quantile 0.8) and stamps
+    bit 11 (2048) on regularized pixels."""
+    from pandora_tpu.steps.base import PipelineState, make_step
+
+    amb = np.array(
+        [
+            [1.0, 0.7, 1.0, 1.0, 1.0],
+            [0.7, 1.0, 1.0, 1.0, 1.0],
+            [1.0, 1.0, 1.0, 1.0, 0.7],
+            [1.0, 1.0, 1.0, 0.7, 1.0],
+        ],
+        np.float32,
+    )
+    ds = _interval_ds(
+        (amb, INT_INF, INT_SUP),
+        (
+            "confidence_from_ambiguity",
+            "confidence_from_interval_bounds_inf",
+            "confidence_from_interval_bounds_sup",
+        ),
+    )
+    img = make_image(np.zeros((4, 5), np.float32))
+    state = PipelineState(left_img=img, right_img=img, left_disparity=ds)
+    make_step(
+        "filter",
+        {
+            "filter_method": "median_for_intervals",
+            "filter_size": 3,
+            "regularization": True,
+            "ambiguity_kernel_size": 3,
+            "ambiguity_threshold": 0.8,
+            "vertical_depth": 2,
+            "quantile_regularization": 0.8,
+        },
+    ).run(state)
+    gt_inf = np.array(
+        [[4.8, 4.8, 4.8, 7, 8], [4.8, 4.8, 7, 7, 4], [2, 5, 8, 2.2, 1], [5, 0, 2.2, 2.2, 3]],
+        np.float32,
+    )
+    gt_sup = np.array(
+        [[7.4, 7.4, 7.4, 9, 10], [7.4, 7.4, 10, 9, 6], [4, 7, 10, 8.4, 3], [7, 2, 8.4, 8.4, 5]],
+        np.float32,
+    )
+    gt_vmask = np.array(
+        [[2048, 2048, 2048, 0, 0], [2048, 2048, 0, 0, 0], [0, 0, 0, 2048, 0], [0, 0, 2048, 2048, 0]],
+        np.uint16,
+    )
+    np.testing.assert_allclose(np.asarray(ds.confidence[:, :, 1]), gt_inf, 1e-7, 1e-7)
+    np.testing.assert_allclose(np.asarray(ds.confidence[:, :, 2]), gt_sup, 1e-7, 1e-7)
+    np.testing.assert_array_equal(np.asarray(ds.validity_mask), gt_vmask)
