@@ -206,6 +206,59 @@ def _modular_line(left, right):
     )
 
 
+def _scene_line():
+    """Production serving path: a 4096x4096 scene through SceneRunner
+    (1024^2 tiles + SGM halos, per-tile host round trips + atomic
+    checkpoints + stitch) — the CARS-style large-scene contract.
+
+    On this environment the number is HOST-IO-BOUND: every tile ships
+    ~20 MB through the remote axon tunnel (~0.5 s/tile) while the TPU
+    compute is ~10 ms/tile; on a directly-attached TPU host (PCIe DMA)
+    the same path runs ~50x faster.  Reported for completeness under
+    --scene, not as a chip-performance metric."""
+    import shutil
+    import tempfile
+
+    from pandora_tpu.parallel.scene import SceneRunner
+
+    rows = cols = 4096
+    rng = np.random.default_rng(7)
+    left = (rng.random((rows, cols), np.float32) * 255).astype(np.float32)
+    right = np.roll(left, -11, axis=1) + rng.normal(0, 2, (rows, cols)).astype(np.float32)
+
+    def read_block(r0, c0, nr, nc):
+        return left[r0 : r0 + nr, c0 : c0 + nc], right[r0 : r0 + nr, c0 : c0 + nc]
+
+    workdir = tempfile.mkdtemp(prefix="bench_scene_")
+    try:
+        runner = SceneRunner(
+            workdir, tile_shape=(1024, 1024),
+            dmin=-(NDISP - 1), dmax=0, subpix=1, window_size=5,
+            matching_cost="census", optimization="sgm", p1=8.0, p2=32.0,
+            refinement="vfit", median_size=3,
+        )
+        runner.run(read_block, rows, cols)  # warm-up/compile pass
+        shutil.rmtree(workdir)
+        os.makedirs(workdir)
+        t0 = time.time()
+        runner._check_meta()
+        runner.run(read_block, rows, cols)
+        disp, _ = runner.stitch(rows, cols)
+        dt = time.time() - t0
+        assert disp.shape == (rows, cols)
+        print(
+            json.dumps(
+                {
+                    "metric": f"SceneRunner tiled scene e2e ({rows}x{cols}, 1024^2 tiles + halos)",
+                    "value": round(rows * cols / 1e6 / dt, 3),
+                    "unit": "Mpix/s",
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     import jax.numpy as jnp
 
@@ -233,6 +286,8 @@ def main() -> None:
         _stage_breakdown(left, right)
     if "--modular" in sys.argv:
         _modular_line(left, right)
+    if "--scene" in sys.argv:
+        _scene_line()
 
     dt, _ = _timeit(fn, left, right)
     mpix_s = (ROWS * COLS / 1e6) / dt
