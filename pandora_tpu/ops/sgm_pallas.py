@@ -528,7 +528,7 @@ def _finish_kernel_2d(n_disp, d_pad, threshold, *refs):
         return jnp.sum(jnp.where(iota == sel_idx, tn, 0.0), axis=1)
 
     all_inv = m[:, 0] >= _BIG * 0.5
-    idx_ref[...] = idx.astype(jnp.float32)
+    idx_ref[...] = idx
     c0_ref[...] = sel(ic - 1)
     c1_ref[...] = jnp.where(all_inv, jnp.nan, m[:, 0])
     c2_ref[...] = sel(ic + 1)
@@ -559,7 +559,7 @@ def _finish_kernel(n_disp, d_pad, threshold, *refs):
         return jnp.sum(jnp.where(iota == sel_idx, tn, 0.0), axis=1)
 
     all_inv = m[:, 0] >= _BIG * 0.5
-    idx_ref[...] = idx.astype(jnp.float32)
+    idx_ref[...] = idx
     c0_ref[...] = sel(ic - 1)
     # the cost AT the argmin is the minimum itself — no gather needed
     c1_ref[...] = jnp.where(all_inv, jnp.nan, m[:, 0])
@@ -586,6 +586,7 @@ def combine_wta_pallas(
     b = _BLOCK
     gr = h8 // b
     map_sds = jax.ShapeDtypeStruct((h8, w8), jnp.float32)
+    idx_sds = jax.ShapeDtypeStruct((h8, w8), jnp.int32)
 
     if two_d:
         # both tile extents are lane-width multiples: Mosaic requires the
@@ -601,12 +602,12 @@ def combine_wta_pallas(
             (tb, d8, tb), lambda r, c: (c, 0, r), memory_space=pltpu.VMEM
         )
         map_spec = pl.BlockSpec((tb, tb), lambda r, c: (r, c), memory_space=pltpu.VMEM)
-        idx_f, c0, c1, c2 = pl.pallas_call(
+        idx_i, c0, c1, c2 = pl.pallas_call(
             partial(_finish_kernel_2d, d, d8, threshold),
             grid=(grb, gw),
             in_specs=[row_spec, row_spec, col_spec, col_spec],
             out_specs=(map_spec,) * 4,
-            out_shape=(map_sds,) * 4,
+            out_shape=(idx_sds, map_sds, map_sds, map_sds),
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(parts.row_n, parts.row_f, parts.col_n, parts.col_f)
@@ -620,17 +621,19 @@ def combine_wta_pallas(
         )
         vol_spec = pl.BlockSpec((b, d8, w8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
         map_spec = pl.BlockSpec((b, w8), lambda g: (g, 0), memory_space=pltpu.VMEM)
-        idx_f, c0, c1, c2 = pl.pallas_call(
+        idx_i, c0, c1, c2 = pl.pallas_call(
             partial(_finish_kernel, d, d8, threshold),
             grid=(gr,),
             in_specs=[vol_spec] * 3,
             out_specs=(map_spec,) * 4,
-            out_shape=(map_sds,) * 4,
+            out_shape=(idx_sds, map_sds, map_sds, map_sds),
             compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(parts.row_n, parts.row_f, colsum)
+    if h8 == h and w8 == w:
+        return idx_i, c0, c1, c2
     crop = (slice(None, h), slice(None, w))
-    return idx_f[crop].astype(jnp.int32), c0[crop], c1[crop], c2[crop]
+    return idx_i[crop], c0[crop], c1[crop], c2[crop]
 
 
 def pallas_supported(
