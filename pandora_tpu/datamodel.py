@@ -81,6 +81,24 @@ class Image:
     def shape(self) -> Tuple[int, int]:
         return self.im.shape[-2:]
 
+    def std_msk(self) -> Optional[jnp.ndarray]:
+        """Input mask translated to the STANDARD convention (0 valid /
+        1 nodata / 2 invalid).
+
+        File-loaded images are normalized at ingestion, but the reference
+        honors per-image ``valid_pixels`` / ``no_data_mask`` attrs on API-
+        constructed datasets (e.g. its test fixtures use 5/7) — every mask
+        consumer must read through this translation, not ``msk`` raw."""
+        if self.msk is None:
+            return None
+        if self.valid_pixels == 0 and self.no_data_mask == 1:
+            return self.msk
+        nodata = self.msk == self.no_data_mask
+        valid = self.msk == self.valid_pixels
+        return jnp.where(
+            nodata, jnp.int16(1), jnp.where(valid, jnp.int16(0), jnp.int16(2))
+        ).astype(jnp.int16)
+
     def band(self, name: Optional[str]) -> jnp.ndarray:
         """Select the (row, col) plane used for correlation."""
         if self.im.shape[0] == 1:

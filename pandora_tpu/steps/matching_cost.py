@@ -157,6 +157,10 @@ class MatchingCostBase(Step):
         right_im = right_img.band(band)
         has_masks = left_img.msk is not None or right_img.msk is not None
         zero_msk = jnp.zeros(left_im.shape, jnp.int16)
+        # masks are read through std_msk(): custom valid_pixels /
+        # no_data_mask conventions translate to the standard 0/1/2 here
+        left_msk = left_img.std_msk()
+        right_msk = right_img.std_msk()
         # the reference builds (2,row,col) grids even for [min, max] pairs
         # (img_tools.add_disparity) and always applies the per-pixel range
         # mask — a no-op for constant grids, real masking for variable ones
@@ -164,8 +168,8 @@ class MatchingCostBase(Step):
         cv, vmask, disp_vals = _compute_cv(
             left_im,
             right_im,
-            left_img.msk if left_img.msk is not None else (zero_msk if has_masks else None),
-            right_img.msk if right_img.msk is not None else (zero_msk if has_masks else None),
+            left_msk if left_msk is not None else (zero_msk if has_masks else None),
+            right_msk if right_msk is not None else (zero_msk if has_masks else None),
             left_img.disp_min,
             left_img.disp_max,
             self._params(),

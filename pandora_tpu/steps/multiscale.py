@@ -133,7 +133,8 @@ def prepare_pyramid_state(state: PipelineState, num_scales: int, scale_factor: i
         raise TypeError("Multiscale processing does not accept input disparity grids.")
 
     def build(img: Image):
-        filled, msk_fill = fill_nodata_sgm(np.asarray(img.im), None if img.msk is None else np.asarray(img.msk))
+        msk = img.std_msk()
+        filled, msk_fill = fill_nodata_sgm(np.asarray(img.im), None if msk is None else np.asarray(msk))
         imgs = gaussian_pyramid(filled, num_scales, scale_factor)
         msks = masks_pyramid(msk_fill, scale_factor, num_scales)
         return imgs, msks

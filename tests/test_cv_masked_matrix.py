@@ -226,3 +226,65 @@ def test_cv_masked_with_disparity_grids(method):
     ]
     gt = np.moveaxis(np.array(planes), 0, -1)
     np.testing.assert_array_equal(got, gt)
+
+
+@pytest.mark.parametrize("method", ["census", "sad", "ssd", "zncc"])
+def test_cv_masked_subpix2_custom_mask_convention(method):
+    """reference TestCvMasked test_subpixellic 'Subpix: 2' (w3, 4x5):
+    custom mask conventions (valid_pixels=5, no_data_mask=7) translate to
+    the standard one before masking (Image.std_msk)."""
+    lmsk = np.array(
+        [[5, 56, 5, 12, 5], [5, 5, 5, 5, 5], [5, 5, 5, 5, 5], [3, 5, 4, 5, 7]],
+        np.int16,
+    )
+    rmsk = np.array(
+        [[7, 5, 5, 5, 5], [5, 5, 5, 65, 5], [5, 5, 5, 5, 5], [5, 23, 5, 5, 2]],
+        np.int16,
+    )
+    li = make_image(LEFT_4x5, disp=[-1, 1], msk=lmsk, valid_pixels=5, no_data_mask=7)
+    ri = make_image(RIGHT_4x5, msk=rmsk, valid_pixels=5, no_data_mask=7)
+    state = PipelineState(left_img=li, right_img=ri)
+    make_step(
+        "matching_cost",
+        {"matching_cost_method": method, "window_size": 3, "subpix": 2},
+    ).run(state)
+    got = np.isnan(np.asarray(state.left_cv.cv))
+    gt = np.moveaxis(
+        np.array(
+            [
+                [
+                    [T, T, T, T, T],
+                    [T, T, T, F, T],
+                    [T, T, F, T, T],
+                    [T, T, T, T, T],
+                ],
+                [
+                    [T, T, T, T, T],
+                    [T, T, T, T, T],
+                    [T, T, F, T, T],
+                    [T, T, T, T, T],
+                ],
+                [
+                    [T, T, T, T, T],
+                    [T, T, F, T, T],
+                    [T, F, F, T, T],
+                    [T, T, T, T, T],
+                ],
+                [
+                    [T, T, T, T, T],
+                    [T, T, T, T, T],
+                    [T, F, F, T, T],
+                    [T, T, T, T, T],
+                ],
+                [
+                    [T, T, T, T, T],
+                    [T, F, T, T, T],
+                    [T, F, F, T, T],
+                    [T, T, T, T, T],
+                ],
+            ]
+        ),
+        0,
+        -1,
+    )
+    np.testing.assert_array_equal(got, gt)
