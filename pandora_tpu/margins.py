@@ -84,7 +84,9 @@ class GlobalMargins:
     """Accumulates per-step margins into the run-global margins.
 
     Mirrors reference GlobalMargins (margins/margins.py:73-143): global =
-    sum(cumulative) + max(non-cumulative).
+    MAX(sum of cumulatives, each non-cumulative) element-wise — the
+    non-cumulative filters overlap the cumulative pipeline reach rather
+    than stacking on top of it.
     """
 
     def __init__(self):
@@ -92,9 +94,13 @@ class GlobalMargins:
         self._non_cumulative: dict[str, Margins] = {}
 
     def add_cumulative(self, step: str, margins: Margins) -> None:
+        if step in self._non_cumulative:
+            raise KeyError(f"{step} is already a non-cumulative margins")
         self._cumulative[step] = margins
 
     def add_non_cumulative(self, step: str, margins: Margins) -> None:
+        if step in self._cumulative:
+            raise KeyError(f"{step} is already a cumulative margins")
         self._non_cumulative[step] = margins
 
     @property
@@ -113,11 +119,24 @@ class GlobalMargins:
 
     @property
     def global_margins(self) -> Margins:
-        return self.cumulative_margins + self.non_cumulative_margins
+        # max_margins([cumulatives.sum(), *non_cumulatives], margins.py:126)
+        return self.cumulative_margins.max(self.non_cumulative_margins)
 
     def to_dict(self):
+        # per-step breakdown, exactly the reference's persisted shape
+        # (margins/margins.py:129-135 → output cfg "margins" section)
         return {
-            "cumulative margins": self.cumulative_margins.to_dict(),
-            "non-cumulative margins": self.non_cumulative_margins.to_dict(),
+            "cumulative margins": {
+                s: m.to_dict() for s, m in self._cumulative.items()
+            },
+            "non-cumulative margins": {
+                s: m.to_dict() for s, m in self._non_cumulative.items()
+            },
             "global margins": self.global_margins.to_dict(),
         }
+
+    def get(self, step: str):
+        """Margins registered for ``step`` under either kind, else None."""
+        if step in self._cumulative:
+            return self._cumulative[step]
+        return self._non_cumulative.get(step)

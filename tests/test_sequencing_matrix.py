@@ -107,10 +107,12 @@ def test_margins_sgm_and_filters():
     )
     g = pipe.margins.global_margins
     # cumulative: census5 half-window 2 + SGM 40 + vfit 1 = 43
-    # non-cumulative max: median filter_size 3 (reference test_filter.py
-    # margins [3,1] -> Margins(3,3,3,3)); global = 43 + 3
-    assert pipe.margins.to_dict()["cumulative margins"]["left"] == 43
-    assert g == Margins(46, 46, 46, 46)
+    # global = MAX(cumulative sum, each non-cumulative filter margin)
+    # (margins/margins.py:124-126) — the filter's 3 px is absorbed
+    d = pipe.margins.to_dict()
+    assert d["cumulative margins"]["optimization"]["left"] == 40
+    assert d["cumulative margins"]["matching_cost"]["left"] == 2
+    assert g == Margins(43, 43, 43, 43)
 
 
 def test_validation_sets_right_disp_map():
