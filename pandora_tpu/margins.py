@@ -5,7 +5,8 @@ Pure-dataclass re-design of the reference margin model
 each step declares a :class:`Margins`; *cumulative* steps (matching cost,
 aggregation, optimization, refinement, disparity) sum, *non-cumulative*
 steps (filters) take the element-wise max.  The global margins are the
-sum of the cumulative total and the non-cumulative max.
+element-wise max of the cumulative sum and each non-cumulative entry
+(the reference's ``max_margins`` semantics).
 
 These margins drive two things in the TPU engine:
 

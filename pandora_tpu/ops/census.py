@@ -366,6 +366,9 @@ def census_cv_rdw_pallas(
             if left_invalid is not None
             else jnp.zeros((h, w), jnp.int32)
         )
+        if right_invalids is None:
+            # left-only masking: mirror the left default with zero planes
+            right_invalids = [jnp.zeros((h, w), jnp.int32)] * subpix
         args.append(prep(li, w8))
         for ri in right_invalids:
             args.append(prep(ri, wp))

@@ -539,7 +539,7 @@ def _finish_kernel(n_disp, d_pad, threshold, *refs):
     WTA + vfit-triplet extraction in VMEM — the total volume never
     reaches HBM.
 
-    refs: rn, rf, cs (B, D, W) -> idx (B, W) f32, c0, c1, c2 (B, W).
+    refs: rn, rf, cs (B, D, W) -> idx (B, W) int32, c0, c1, c2 (B, W).
     Entries >= threshold are the super-cost (invalid) sentinels: excluded
     from the argmin and reported as NaN in the triplet."""
     rn, rf, cs, idx_ref, c0_ref, c1_ref, c2_ref = refs

@@ -221,8 +221,10 @@ class Pipeline:
             Pipeline._fused_cache[cfg_key] = fn
         left = img_l.band(plan["band"])
         right = img_r.band(plan["band"])
-        lmsk = img_l.msk
-        rmsk = img_r.msk
+        # stereo_pipeline's mask consumers assume the standard 0/1/2
+        # convention; translate custom valid_pixels/no_data_mask first
+        lmsk = img_l.std_msk()
+        rmsk = img_r.std_msk()
         disp, vmask = fn(left, right, lmsk, rmsk)
         invalid = plan["invalid"]
         # wta() fills all-NaN lanes with the configured invalid value; the
