@@ -161,6 +161,30 @@ def _accuracy_line():
     )
 
 
+def _hw_checks_line():
+    """Run the two cheapest compiled-kernel equality checks from
+    tests/test_tpu_hw.py and record pass/fail in the bench artifact, so
+    compiled-vs-lax kernel equality is gated every round rather than only
+    behind the manual PANDORA_TPU_HW_TESTS env var."""
+    sys.path.insert(0, os.path.join(HERE, "tests"))
+    from test_tpu_hw import (
+        test_census_cv_kernel_multiword_oracle,
+        test_pallas_compiled_equals_lax_scan,
+    )
+
+    results = {}
+    for name, fn in (
+        ("pallas_sgm_equals_lax_scan", test_pallas_compiled_equals_lax_scan),
+        ("census_cv_multiword_oracle", test_census_cv_kernel_multiword_oracle),
+    ):
+        try:
+            fn()
+            results[name] = "pass"
+        except Exception as exc:  # record, don't abort the bench
+            results[name] = f"FAIL: {str(exc)[:160]}"
+    print(json.dumps({"metric": "compiled-kernel equality checks", **results}))
+
+
 def _modular_line(left, right):
     """Time the MODULAR JSON engine on the headline workload.  On TPU the
     pipeline router sends this census+SGM+WTA+vfit+median config through
@@ -282,9 +306,8 @@ def main() -> None:
 
     if "--no-accuracy" not in sys.argv:
         _accuracy_line()
-    if "--stages" in sys.argv:
+        _hw_checks_line()
         _stage_breakdown(left, right)
-    if "--modular" in sys.argv:
         _modular_line(left, right)
     if "--scene" in sys.argv:
         _scene_line()

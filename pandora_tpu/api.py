@@ -196,7 +196,10 @@ def crop_disparity_to_roi(disp: DisparityMap, roi: Dict[str, Any], img_path: str
 
 def main(cfg_path: str, output: str, verbose: bool = False) -> None:
     """Config-file driver (reference main, __init__.py:151-202)."""
+    from . import import_plugin
+
     setup_logging(verbose)
+    import_plugin()  # third-party Step registrations (reference :170)
     user_cfg = read_config_file(cfg_path)
     # resolve relative image paths against the config file directory BEFORE
     # validation, so the header-level image checks can open them

@@ -47,7 +47,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1.0e30  # finite "no predecessor" sentinel (inf breaks min/NaN rules)
+# int16 compute path: the recurrence is EXACT in 16-bit integers when the
+# volume is uint8 and P1/P2 are integers (every L <= cmax + P2 <= 32767),
+# and 16-bit VPU math packs 2 lanes per 32-bit ALU slot on v5e.  The
+# sentinel only needs headroom for + P1/P2 below INT16_MAX; restart
+# messages are exactly 0 by integer arithmetic (no float absorption).
+_BIG_I16 = 16000
 _BLOCK = 8  # lines advanced per grid step
+
+
+def _big_for(dtype):
+    return _BIG_I16 if dtype == jnp.int16 else _BIG
 
 # penalty modes
 _P_SCALAR = 0  # python-float closure constant
@@ -63,8 +73,8 @@ def _msg_dw(prev, p1, p2):
 
     Restart-at-border needs no explicit test: padded predecessors hold
     _BIG in every lane, so min_prev == _BIG and f32 absorption gives
-    msg == _BIG - _BIG == 0 exactly."""
-    big_row = jnp.full_like(prev[:1], _BIG)
+    msg == _BIG - _BIG == 0 exactly (int16: plain integer cancellation)."""
+    big_row = jnp.full_like(prev[:1], _big_for(prev.dtype))
     d_down = jnp.concatenate([big_row, prev[:-1]], axis=0)
     d_up = jnp.concatenate([prev[1:], big_row], axis=0)
     min_prev = jnp.min(prev, axis=0, keepdims=True)  # (1, X)
@@ -76,7 +86,7 @@ def _shift_lane(a, dc):
     """Shift along the cross (lane) axis: out[..., c] = a[..., c - dc]."""
     if dc == 0:
         return a
-    big = jnp.full_like(a[..., :1], _BIG)
+    big = jnp.full_like(a[..., :1], _big_for(a.dtype))
     if dc > 0:
         return jnp.concatenate([big, a[..., :-1]], axis=-1)
     return jnp.concatenate([a[..., 1:], big], axis=-1)
@@ -94,6 +104,8 @@ def _shift_lane_i32(a, dc, fill=-1):
 def _to_f32(x, cdt=jnp.float32):
     """Load-cast to the compute dtype; Mosaic has no direct uint8->float
     lowering, so uint8 costs hop through int16 (exact for 0..255)."""
+    if cdt == jnp.int16:
+        return x.astype(jnp.int16)  # uint8 -> int16 is direct and exact
     if x.dtype == jnp.uint8:
         return x.astype(jnp.int16).astype(jnp.float32).astype(cdt)
     return x.astype(jnp.float32).astype(cdt)
@@ -112,6 +124,12 @@ def _store_cast(x, dtype, bounded=False):
     wrap) or all-invalid (3*255 = 765 wraps to 253; col singles stay 255),
     so invalid totals are >= 253+253+255+255 = 1016, still above
     _U8P_THRESH = 900 while valid totals stay <= 8*(cmax+P2) <= 677."""
+    if x.dtype == jnp.int16:
+        if dtype == jnp.uint8:
+            if not bounded:
+                x = jnp.clip(x, 0, 255)
+            return x.astype(jnp.uint8)  # i16 -> u8 wraps mod 256
+        return x if dtype == jnp.int16 else x.astype(dtype)
     if dtype == jnp.uint8:
         x = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
         if not bounded:
@@ -157,19 +175,22 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt, 
 
     @pl.when(g == 0)
     def _():
-        carry_ref[...] = jnp.full_like(carry_ref, _BIG)
+        carry_ref[...] = jnp.full_like(carry_ref, _big_for(carry_ref.dtype))
         if segc_ref is not None:
             segc_ref[...] = jnp.full_like(segc_ref, -1)
 
     prev = [carry_ref[ch] for ch in range(n_ch)]
     prev_seg = [segc_ref[grp] for grp in range(2)] if has_seg else None
     b, d_pad = cost_n_ref.shape[0], cost_n_ref.shape[1]
+    # keep the sentinel compare in the compute dtype (an int16 volume
+    # compared against a python float would promote the whole line to f32)
+    absorb_c = int(absorb) if absorb is not None and cdt == jnp.int16 else absorb
     for j in range(b):
         cost_n = _to_f32(cost_n_ref[j], cdt)  # line g*B + j, (D, X)
         cost_f = _to_f32(cost_f_ref[b - 1 - j], cdt)  # flipped line
         if absorb is not None:
-            inv_n = cost_n >= absorb
-            inv_f = cost_f >= absorb
+            inv_n = cost_n >= absorb_c
+            inv_f = cost_f >= absorb_c
         if has_seg:
             seg_n = seg_ref[j, 0]  # (X,) int32
             seg_f = seg_ref[j, 1]
@@ -318,12 +339,18 @@ def _run_pass(
         )
         out_specs += [am_n_spec, am_f_spec]
         out_shape += [jax.ShapeDtypeStruct((l8, half, x8), jnp.int32)] * 2
-    # the bf16 compute dtype is only wired for the scalar-penalty,
+    # the bf16/int16 compute dtypes are only wired for the scalar-penalty,
     # segment-free instantiation (the layouts fast path); penalty planes
     # are f32 and would silently promote the recurrence back to f32
     cdt = compute_dtype
     if p1_mode != _P_SCALAR or p2_mode != _P_SCALAR or has_seg:
         cdt = jnp.float32
+    if cdt == jnp.int16:
+        # python-int penalties keep int16 weak-type promotion (a float
+        # scalar would silently lift the whole recurrence to f32)
+        if not (float(p1).is_integer() and float(p2).is_integer()):
+            raise ValueError("int16 SGM compute requires integer P1/P2")
+        p1, p2 = int(p1), int(p2)
     scratch = [pltpu.VMEM((n_ch, d8, x8), cdt)]
     if has_seg:
         scratch.append(pltpu.VMEM((2, x8), jnp.int32))
