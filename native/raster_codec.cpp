@@ -33,6 +33,107 @@ struct Chunk {
   int64_t dst_cap;
 };
 
+// TIFF PackBits (compression 32773): runs of [-127..-1] repeat the next
+// byte (1 - n) times, [0..127] copy n+1 literal bytes, -128 is a no-op.
+int decode_packbits(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                    int64_t dst_cap) {
+  int64_t i = 0, o = 0;
+  while (i < src_len && o < dst_cap) {
+    int8_t n = static_cast<int8_t>(src[i++]);
+    if (n >= 0) {
+      int64_t cnt = static_cast<int64_t>(n) + 1;
+      if (i + cnt > src_len || o + cnt > dst_cap) return -3;
+      std::memcpy(dst + o, src + i, static_cast<size_t>(cnt));
+      i += cnt;
+      o += cnt;
+    } else if (n != -128) {
+      int64_t cnt = 1 - static_cast<int64_t>(n);
+      if (i >= src_len || o + cnt > dst_cap) return -3;
+      std::memset(dst + o, src[i++], static_cast<size_t>(cnt));
+      o += cnt;
+    }
+  }
+  return o == dst_cap ? 0 : -3;
+}
+
+// TIFF LZW (compression 5): MSB-first variable-width codes starting at
+// 9 bits, ClearCode 256, EndOfInformation 257, with the TIFF "early
+// change" (the code width bumps one code before the table fills).
+int decode_lzw(const uint8_t* src, int64_t src_len, uint8_t* dst,
+               int64_t dst_cap) {
+  constexpr int kClear = 256, kEoi = 257, kFirst = 258, kMaxCode = 4096;
+  // table entries as (prefix, suffix); strings materialized on emit
+  std::vector<int> prefix(kMaxCode, -1);
+  std::vector<uint8_t> suffix(kMaxCode, 0);
+  for (int i = 0; i < 256; ++i) {
+    suffix[i] = static_cast<uint8_t>(i);
+  }
+  int next_code = kFirst, width = 9;
+  uint32_t bitbuf = 0;
+  int bits = 0;
+  int64_t i = 0, o = 0;
+  int prev = -1;
+  std::vector<uint8_t> scratch;
+  scratch.reserve(kMaxCode);
+  auto emit = [&](int code) -> int64_t {  // returns bytes written, -1 on err
+    scratch.clear();
+    int c = code;
+    while (c >= 0) {
+      scratch.push_back(suffix[c]);
+      c = c < 256 ? -1 : prefix[c];
+    }
+    int64_t n = static_cast<int64_t>(scratch.size());
+    if (o + n > dst_cap) n = dst_cap - o;
+    for (int64_t k = 0; k < n; ++k) dst[o + k] = scratch[scratch.size() - 1 - k];
+    return n;
+  };
+  while (o < dst_cap) {
+    while (bits < width) {
+      if (i >= src_len) return o == dst_cap ? 0 : -4;
+      bitbuf = (bitbuf << 8) | src[i++];
+      bits += 8;
+    }
+    int code = static_cast<int>((bitbuf >> (bits - width)) & ((1u << width) - 1));
+    bits -= width;
+    if (code == kEoi) break;
+    if (code == kClear) {
+      next_code = kFirst;
+      width = 9;
+      prev = -1;
+      continue;
+    }
+    if (prev < 0) {  // first code after clear: literal
+      if (code >= 256) return -4;
+      dst[o++] = static_cast<uint8_t>(code);
+      prev = code;
+    } else {
+      if (code > next_code || next_code >= kMaxCode) return -4;
+      int emit_code = code;
+      uint8_t first_byte;
+      if (code == next_code) {  // KwKwK case: string = prev + first(prev)
+        int c = prev;
+        while (c >= 256) c = prefix[c];
+        first_byte = suffix[c];
+        prefix[next_code] = prev;
+        suffix[next_code] = first_byte;
+        ++next_code;
+        o += emit(emit_code);
+      } else {
+        o += emit(emit_code);
+        int c = code;
+        while (c >= 256) c = prefix[c];
+        prefix[next_code] = prev;
+        suffix[next_code] = suffix[c];
+        ++next_code;
+      }
+      prev = code;
+    }
+    // TIFF early change: widen one code early
+    if (next_code == (1 << width) - 1 && width < 12) ++width;
+  }
+  return 0;
+}
+
 int decode_one(const uint8_t* raw, uint8_t* dst, const Chunk& c,
                int compression) {
   if (compression == 1) {  // none
@@ -40,6 +141,11 @@ int decode_one(const uint8_t* raw, uint8_t* dst, const Chunk& c,
     std::memcpy(dst + c.dst_off, raw + c.src_off, static_cast<size_t>(n));
     return 0;
   }
+  if (compression == 32773)
+    return decode_packbits(raw + c.src_off, c.src_len, dst + c.dst_off,
+                           c.dst_cap);
+  if (compression == 5)
+    return decode_lzw(raw + c.src_off, c.src_len, dst + c.dst_off, c.dst_cap);
   // deflate (8) / legacy deflate (32946)
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
@@ -63,7 +169,7 @@ extern "C" {
 
 // Decompress n_chunks chunks in parallel.  Returns 0 on success, the
 // first nonzero per-chunk error otherwise.  compression: 1 = none,
-// 8 / 32946 = zlib deflate.
+// 5 = LZW, 8 / 32946 = zlib deflate, 32773 = PackBits.
 int decode_chunks(const uint8_t* raw, const int64_t* src_offsets,
                   const int64_t* src_lengths, const int64_t* dst_offsets,
                   const int64_t* dst_caps, int64_t n_chunks, int compression,

@@ -109,3 +109,28 @@ def decode_chunks(
     if rc != 0:
         return None
     return [out[int(o) : int(o) + int(s)] for o, s in zip(dst_off, dst_sizes)]
+
+
+def compress(src: bytes, level: int = 6) -> Optional[bytes]:
+    """zlib-deflate via the native library (GeoTIFF deflate write path);
+    None if unavailable (caller falls back to Python zlib)."""
+    cdll = lib()
+    if cdll is None:
+        return None
+    try:
+        cdll.compress_buffer.restype = ctypes.c_int64
+        cdll.compress_buffer.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        cap = len(src) + (len(src) >> 10) + 64
+        dst = ctypes.create_string_buffer(cap)
+        n = cdll.compress_buffer(src, len(src), dst, cap, level)
+        if n <= 0:
+            return None
+        return dst.raw[: int(n)]
+    except Exception:
+        return None

@@ -44,7 +44,95 @@ _T_GEOASCIIPARAMS = 34737
 _T_GDAL_METADATA = 42112
 _T_GDAL_NODATA = 42113
 
+_T_PREDICTOR = 317
+
 _SAMPLEFORMAT = {"u": 1, "i": 2, "f": 3}
+
+
+def _packbits_decode(src: bytes, dst_size: int) -> bytes:
+    """TIFF PackBits (compression 32773) — pure-Python fallback of the
+    native decoder (native/raster_codec.cpp::decode_packbits)."""
+    out = bytearray()
+    i, n_src = 0, len(src)
+    while i < n_src and len(out) < dst_size:
+        n = src[i]
+        i += 1
+        if n < 128:  # literal run
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += src[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:dst_size])
+
+
+def _lzw_decode(src: bytes, dst_size: int) -> bytes:
+    """TIFF LZW (compression 5): MSB-first variable-width codes, ClearCode
+    256 / EOI 257, with the TIFF early-change convention.  Pure-Python
+    fallback of native/raster_codec.cpp::decode_lzw."""
+    CLEAR, EOI, FIRST = 256, 257, 258
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    width, bitbuf, bits = 9, 0, 0
+    prev: Optional[bytes] = None
+    i, n_src = 0, len(src)
+    while len(out) < dst_size:
+        while bits < width:
+            if i >= n_src:
+                return bytes(out[:dst_size])
+            bitbuf = (bitbuf << 8) | src[i]
+            i += 1
+            bits += 8
+        code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            del table[FIRST:]
+            width, prev = 9, None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out[:dst_size])
+
+
+def _undo_predictor(buf: bytes, predictor: int, n_rows: int, row_values: int,
+                    spp: int, dt: np.dtype) -> bytes:
+    """Undo TIFF predictor 2 (horizontal differencing, integer samples) or
+    3 (floating-point byte-plane differencing, GDAL/libtiff convention) on
+    one decoded chunk; returns bytes in the file's byte order."""
+    if predictor == 2:
+        if dt.kind not in "ui":
+            raise ValueError("predictor 2 requires integer samples")
+        u = np.dtype(f"{dt.byteorder}u{dt.itemsize}")
+        a = np.frombuffer(buf, u).astype(np.int64).reshape(n_rows, row_values, spp)
+        a = a.cumsum(axis=1) & ((1 << (8 * dt.itemsize)) - 1)
+        return a.astype(u).tobytes()
+    if predictor == 3:
+        it = dt.itemsize
+        nb = np.frombuffer(buf, np.uint8).astype(np.int64).reshape(n_rows, -1)
+        nb = (nb.cumsum(axis=1) & 0xFF).astype(np.uint8)
+        nvals = nb.shape[1] // it
+        # byte planes are MSB-first across the whole row; interleave back
+        # into big-endian values
+        inter = np.moveaxis(nb.reshape(n_rows, it, nvals), 1, 2)
+        vals = np.frombuffer(np.ascontiguousarray(inter).tobytes(),
+                             np.dtype(f">{dt.kind}{it}"))
+        return vals.astype(dt).tobytes()
+    raise ValueError(f"unsupported TIFF predictor {predictor}")
 
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
@@ -90,7 +178,8 @@ def _read_tiff_native(path: str):
     comp = tags.get(_T_COMPRESSION, (1,))[0]
     planar = tags.get(_T_PLANARCONFIG, (1,))[0]
     sfmt = tags.get(_T_SAMPLEFORMAT, (1,) * spp)[0]
-    if comp not in (1, 8, 32946):
+    pred = tags.get(_T_PREDICTOR, (1,))[0]
+    if comp not in (1, 5, 8, 32946, 32773) or pred not in (1, 2, 3):
         return None
     kind = {1: "u", 2: "i", 3: "f"}.get(sfmt)
     if kind is None:
@@ -98,17 +187,24 @@ def _read_tiff_native(path: str):
     dt = np.dtype(f"{bo}{kind}{bits // 8}")
 
     def chunks(offsets, counts, sizes):
-        # parallel native decode (native/raster_codec.cpp) with a pure
-        # Python zlib fallback
+        # parallel native decode (native/raster_codec.cpp) with pure
+        # Python zlib/LZW/PackBits fallbacks
         from . import _native
 
         decoded = _native.decode_chunks(raw, list(offsets), list(counts), sizes, comp)
         if decoded is not None:
             yield from decoded
             return
-        for o, c in zip(offsets, counts):
+        for o, c, sz in zip(offsets, counts, sizes):
             blob = raw[o : o + c]
-            yield zlib.decompress(blob) if comp in (8, 32946) else blob
+            if comp in (8, 32946):
+                yield zlib.decompress(blob)
+            elif comp == 5:
+                yield _lzw_decode(blob, sz)
+            elif comp == 32773:
+                yield _packbits_decode(blob, sz)
+            else:
+                yield blob
 
     if 324 in tags:  # tiled
         tw, th = tags[322][0], tags[323][0]
@@ -122,7 +218,10 @@ def _read_tiff_native(path: str):
         for p in range(n_planes):
             for ty in range(tiles_y):
                 for tx in range(tiles_x):
-                    buf = np.frombuffer(next(it), dt)
+                    blob = next(it)
+                    if pred != 1:
+                        blob = _undo_predictor(blob, pred, th, tw, samples_per_tile, dt)
+                    buf = np.frombuffer(blob, dt)
                     tile = buf.reshape(th, tw, samples_per_tile)
                     h = min(th, height - ty * th)
                     w = min(tw, width - tx * tw)
@@ -144,10 +243,14 @@ def _read_tiff_native(path: str):
             for s in range(strips_per_plane)
         ]
         it = chunks(tags[_T_STRIPOFFSETS], tags[_T_STRIPBYTECOUNTS], strip_sizes)
+        strip_spp = spp if planar == 1 else 1
         for p in range(n_planes):
             for s in range(strips_per_plane):
-                buf = np.frombuffer(next(it), dt)
+                blob = next(it)
                 h = min(rps, height - s * rps)
+                if pred != 1:
+                    blob = _undo_predictor(blob, pred, h, width, strip_spp, dt)
+                buf = np.frombuffer(blob, dt)
                 rowsdata = buf[: h * samples_per_row].reshape(h, -1)
                 if planar == 1:
                     out[:, s * rps : s * rps + h] = np.moveaxis(rowsdata.reshape(h, width, spp), -1, 0)
@@ -328,7 +431,10 @@ def read_raster(path: str, window: Optional[Tuple[int, int, int, int]] = None):
     nodata = None
     band_names = None
     if path.lower().endswith((".tif", ".tiff")):
-        native = _read_tiff_native(path)
+        try:
+            native = _read_tiff_native(path)
+        except Exception:  # corrupt stream/unexpected layout: try PIL
+            native = None
         if native is not None:
             arr, tags = native
             data = arr.astype(np.float32)
@@ -432,12 +538,14 @@ def write_geotiff(
     crs: Optional[str] = None,
     nodata: Optional[float] = None,
     band_names: Optional[Tuple[str, ...]] = None,
+    compression: str = "none",
 ) -> None:
-    """Write a GeoTIFF (uncompressed, single strip), single or multi band
+    """Write a GeoTIFF (single strip), single or multi band
     ((rows, cols) or (bands, rows, cols) pixel-interleaved).
 
     Supports float32 / float64→float32 / uint8 / uint16 / int16 / int32.
-    """
+    ``compression``: "none" (default) or "deflate" (zlib, read back by
+    this module, rasterio/GDAL and PIL alike)."""
     data = np.asarray(data)
     if data.ndim == 3:
         data = np.moveaxis(data, 0, -1)  # (rows, cols, bands) chunky layout
@@ -450,11 +558,14 @@ def write_geotiff(
     itemsize = data.dtype.itemsize
     sample_format = _SAMPLEFORMAT[data.dtype.kind]
 
+    if compression not in ("none", "deflate"):
+        raise ValueError(f"unsupported compression {compression!r}")
+
     # layout: header(8) | IFD | external tag data | pixel data
     entries = [
         (_T_WIDTH, 3, 1, cols),
         (_T_HEIGHT, 3, 1, rows),
-        (_T_COMPRESSION, 3, 1, 1),
+        (_T_COMPRESSION, 3, 1, 8 if compression == "deflate" else 1),
         (_T_PHOTOMETRIC, 3, 1, 1),
         (_T_SAMPLESPERPIXEL, 3, 1, n_bands),
         (_T_ROWSPERSTRIP, 3, 1, rows),
@@ -509,9 +620,18 @@ def write_geotiff(
             ext_blob += payload
 
     # strip offsets / byte counts (one strip total keeps the IFD tiny)
+    if data.dtype.byteorder == ">":
+        data = data.byteswap()
+    payload = data.tobytes()
+    if compression == "deflate":
+        import zlib
+
+        from . import _native
+
+        payload = _native.compress(payload) or zlib.compress(payload, 6)
     data_off = ext_off + len(ext_blob)
     entries.append((_T_STRIPOFFSETS, 4, 1, data_off))
-    entries.append((_T_STRIPBYTECOUNTS, 4, 1, rows * cols * n_bands * itemsize))
+    entries.append((_T_STRIPBYTECOUNTS, 4, 1, len(payload)))
 
     with open(path, "wb") as fh:
         fh.write(b"II*\x00" + struct.pack("<I", 8))
@@ -519,6 +639,4 @@ def write_geotiff(
         fh.write(_pack_entries(entries))
         fh.write(struct.pack("<I", 0))  # next IFD
         fh.write(ext_blob)
-        if data.dtype.byteorder == ">":
-            data = data.byteswap()
-        fh.write(data.tobytes())
+        fh.write(payload)
