@@ -77,7 +77,12 @@ def _msg_dw(prev, p1, p2):
     big_row = jnp.full_like(prev[:1], _big_for(prev.dtype))
     d_down = jnp.concatenate([big_row, prev[:-1]], axis=0)
     d_up = jnp.concatenate([prev[1:], big_row], axis=0)
-    min_prev = jnp.min(prev, axis=0, keepdims=True)  # (1, X)
+    if prev.dtype == jnp.int16:
+        # Mosaic has no int16 sublane reductions; hop through int32 for
+        # the (amortized) min-reduce, keep the elementwise ops packed i16
+        min_prev = jnp.min(prev.astype(jnp.int32), axis=0, keepdims=True).astype(jnp.int16)
+    else:
+        min_prev = jnp.min(prev, axis=0, keepdims=True)  # (1, X)
     m = jnp.minimum(prev, jnp.minimum(d_down, d_up) + p1)
     return jnp.minimum(m, min_prev + p2) - min_prev
 

@@ -89,6 +89,74 @@ if __name__ == "__main__":
     main()
 
 
+def sweep_i16():
+    """Probe packed-int16 support (the roofline's 2x scan lever).
+
+    Round-5 result on v5e: only add/and compile; sub, mul, min/max, shifts,
+    compares and selects are rejected ("Target does not support this
+    comparison" on vector<8x128x2xi16>), and int16 sublane reductions are
+    unimplemented — so the int16 SGM recurrence
+    (sgm_partials_from_layouts(compute_dtype=jnp.int16), bit-exact in
+    interpret mode) cannot compile.  Re-run after libtpu updates: if
+    'minimum' and 'compare_ge_select' flip to COMPILES, enable the path
+    for ~2x scan throughput.  See BASELINE.md."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def probe(name, body):
+        def kern(a_ref, b_ref, o_ref):
+            o_ref[...] = body(a_ref[...], b_ref[...])
+
+        x = jnp.arange(16 * 256, dtype=jnp.int16).reshape(16, 256) % 200
+        y = (x * 3 + 7) % 150
+        try:
+            f = pl.pallas_call(
+                kern,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int16),
+            )
+            out = jax.jit(f)(x, y)
+            jax.block_until_ready(out)
+            want = body(x.astype(jnp.int32), y.astype(jnp.int32)).astype(jnp.int16)
+            print(json.dumps({"i16_op": name, "status": "COMPILES",
+                              "numerics_ok": bool(jnp.all(out == want))}), flush=True)
+        except Exception as exc:
+            msg = str(exc)
+            key = "unsupported" if "not support" in msg else msg[:100].replace("\n", " ")
+            print(json.dumps({"i16_op": name, "status": "FAIL", "why": key}), flush=True)
+
+    probe("add", lambda a, b: a + b)
+    probe("sub", lambda a, b: a - b)
+    probe("mul", lambda a, b: a * b)
+    probe("minimum", lambda a, b: jnp.minimum(a, b))
+    probe("maximum", lambda a, b: jnp.maximum(a, b))
+    probe("shift_right", lambda a, b: a >> 3)
+    probe("and", lambda a, b: a & b)
+    probe("compare_ge_select", lambda a, b: jnp.where(a >= b, a, b))
+    probe("equal", lambda a, b: (a == b).astype(jnp.int16))
+    # the full recurrence, in case single ops start passing
+    from pandora_tpu.ops.census import census_cost_volume_scan_layouts
+    from pandora_tpu.ops.sgm_pallas import sgm_partials_from_layouts
+
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.random((128, 256), np.float32) * 255)
+    right = jnp.asarray(rng.random((128, 256), np.float32) * 255)
+    rdw, cdh, hwd = census_cost_volume_scan_layouts(left, right, -63, 0, 1, 5, jnp.uint8)
+    try:
+        p = jax.jit(
+            lambda r, c: sgm_partials_from_layouts(
+                r, c, hwd, 8.0, 32.0, out_dtype=jnp.uint8, block=16,
+                compute_dtype=jnp.int16,
+            )
+        )(rdw, cdh)
+        jax.block_until_ready(p)
+        print(json.dumps({"i16_op": "sgm_recurrence", "status": "COMPILES"}), flush=True)
+    except Exception as exc:
+        print(json.dumps({"i16_op": "sgm_recurrence", "status": "FAIL",
+                          "why": str(exc)[:160].replace("\n", " ")}), flush=True)
+
+
 def sweep_bf16():
     rng = np.random.default_rng(0)
     left = jnp.asarray(rng.random((ROWS, COLS), np.float32) * 255)

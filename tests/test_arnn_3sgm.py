@@ -35,8 +35,10 @@ def _scene_gen():
 
 @needs_ckpt
 def test_bundled_checkpoint_segments_buildings():
-    """Quality gate on held-out synthetic scenes: IoU >= 0.25 (the
-    untrained He-init net scores ~0.01)."""
+    """Quality gate on held-out synthetic scenes: mean IoU >= 0.5, pinning
+    the bundled checkpoint's achieved quality (0.584 measured on these 4
+    scenes, round 5; claimed held-out IoU 0.56 at training time).  The
+    untrained He-init net scores ~0.01."""
     make_scene = _scene_gen()
     from pandora_tpu.ops import linknet
 
@@ -49,7 +51,7 @@ def test_bundled_checkpoint_segments_buildings():
         inter = (pred & (mask > 0.5)).sum()
         union = (pred | (mask > 0.5)).sum()
         ious.append(inter / max(union, 1))
-    assert float(np.mean(ious)) >= 0.25, ious
+    assert float(np.mean(ious)) >= 0.5, ious
 
 
 @needs_ckpt

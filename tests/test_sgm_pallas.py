@@ -302,3 +302,59 @@ def test_u8_layout_path_matches_f32_path():
         np.testing.assert_allclose(
             np.where(both_nan, 0, g), np.where(both_nan, 0, r), atol=1e-4
         )
+
+
+def test_int16_compute_matches_f32():
+    """The int16 scan recurrence (compute_dtype=jnp.int16) is bit-exact vs
+    the f32 recurrence on uint8 volumes with integer penalties.
+
+    On TPU v5e this path CANNOT compile (Mosaic has no packed-i16
+    min/compare — negative result recorded in BASELINE.md and probed by
+    scripts/sweep_kernels.py::sweep_i16); this pins its semantics so a
+    future toolchain that lowers packed 16-bit min can enable it as a
+    drop-in ~2x scan speedup."""
+    import numpy as np
+
+    from pandora_tpu.ops.census import census_cost_volume_scan_layouts
+    from pandora_tpu.ops.sgm_pallas import sgm_partials_from_layouts
+
+    rng = np.random.default_rng(11)
+    h, w, d = 48, 144, 24
+    left = jnp.asarray(rng.random((h, w), np.float32) * 255)
+    right = jnp.asarray(rng.random((h, w), np.float32) * 255)
+    rdw, cdh, hwd = census_cost_volume_scan_layouts(
+        left, right, -(d - 1), 0, 1, 5, jnp.uint8, interpret=True
+    )
+    for out_dtype in (jnp.uint8, jnp.int16):
+        p32 = sgm_partials_from_layouts(
+            rdw, cdh, hwd, 8.0, 32.0, out_dtype=out_dtype, interpret=True
+        )
+        p16 = sgm_partials_from_layouts(
+            rdw, cdh, hwd, 8.0, 32.0, out_dtype=out_dtype, interpret=True,
+            compute_dtype=jnp.int16,
+        )
+        for name in ("row_n", "row_f", "col_n", "col_f"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(p16, name)), np.asarray(getattr(p32, name)),
+                err_msg=f"{name} ({out_dtype})",
+            )
+
+
+def test_int16_compute_rejects_float_penalties():
+    import numpy as np
+    import pytest
+
+    from pandora_tpu.ops.census import census_cost_volume_scan_layouts
+    from pandora_tpu.ops.sgm_pallas import sgm_partials_from_layouts
+
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.random((16, 144), np.float32) * 255)
+    right = jnp.asarray(rng.random((16, 144), np.float32) * 255)
+    rdw, cdh, hwd = census_cost_volume_scan_layouts(
+        left, right, -7, 0, 1, 5, jnp.uint8, interpret=True
+    )
+    with pytest.raises(ValueError, match="integer P1/P2"):
+        sgm_partials_from_layouts(
+            rdw, cdh, hwd, 1.5, 32.0, out_dtype=jnp.uint8, interpret=True,
+            compute_dtype=jnp.int16,
+        )
