@@ -230,6 +230,27 @@ def _modular_line(left, right):
     )
 
 
+def _tiling_compare_lines():
+    """Replication-halo vs boundary-state-exchange tiled SGM at 2 and 8
+    virtual devices (scripts/bench_tiling.py in a CPU subprocess — the
+    main bench stays on the TPU platform)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PYTHONSTARTUP", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "scripts", "bench_tiling.py")],
+            capture_output=True, text=True, timeout=1800, env=env,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+        if out.returncode != 0:
+            print(json.dumps({"metric": "tiled SGM scheme compare",
+                              "error": out.stderr[-200:]}))
+    except Exception as exc:
+        print(json.dumps({"metric": "tiled SGM scheme compare", "error": str(exc)[:200]}))
+
+
 def _scene_line():
     """Production serving path: a 4096x4096 scene through SceneRunner
     (1024^2 tiles + SGM halos, per-tile host round trips + atomic
@@ -309,6 +330,7 @@ def main() -> None:
         _hw_checks_line()
         _stage_breakdown(left, right)
         _modular_line(left, right)
+        _tiling_compare_lines()
     if "--scene" in sys.argv:
         _scene_line()
 

@@ -62,13 +62,25 @@ def _sgm_message(prev, p1, p2, valid_prev):
     return jnp.where(valid_prev, msg, 0.0)
 
 
-def _row_scan(cost2, pen_static, pen_xs, seg2, n_disp, track_mins):
+def _row_scan(cost2, pen_static, pen_xs, seg2, n_disp, track_mins,
+              edge_cols=(), inj_lanes=(), inj=None):
     """One scan over rows carrying 6 directions.
 
     cost2: (2, H, W, D) — [normal, row-flipped] cost volumes.
     pen_static: (p1, p2) as (6, 1, 1) closure constants, or None.
     pen_xs: (p1, p2) as (H, 6, W, D-or-1) scanned inputs, or None.
     seg2: (2, H, W) int32 segment ids or None.
+
+    Tiled SGM boundary-state hooks (parallel/sgm_exchange.py):
+
+    * ``edge_cols``: static column indices whose per-channel L values are
+      emitted each row — out["edges"] (H, 6, k, D).  Channels 0-2 rows
+      are in normal order, 3-5 in flipped order (the scan's native order).
+    * ``inj_lanes`` + ``inj`` (H, k, 6, D): after computing each row, the
+      L values at these columns are OVERWRITTEN with the injected values
+      (a neighbor tile's boundary history) so the next row's column
+      shifts read cross-tile state instead of a path restart.  Non-finite
+      injections reproduce the restart (isfinite validity).
     """
     h, w = cost2.shape[1], cost2.shape[2]
     shifts = (0, 1, -1)  # dcol of ROW_DIRS
@@ -103,6 +115,10 @@ def _row_scan(cost2, pen_static, pen_xs, seg2, n_disp, track_mins):
         out = {"norm": l_new[0] + l_new[1] + l_new[2], "flip": l_new[3] + l_new[4] + l_new[5]}
         if track_mins:
             out["amins"] = jnp.argmin(l_new, axis=-1).astype(jnp.int32)  # (6, W)
+        if edge_cols:
+            out["edges"] = jnp.stack([l_new[:, c] for c in edge_cols], axis=1)
+        for i, lane in enumerate(inj_lanes):
+            l_new = l_new.at[:, lane].set(xs["inj"][i])
         new_seg = seg_row if seg_row is not None else prev_seg
         return (l_new, new_seg, jnp.zeros((), bool)), out
 
@@ -111,6 +127,8 @@ def _row_scan(cost2, pen_static, pen_xs, seg2, n_disp, track_mins):
         xs["p1"], xs["p2"] = pen_xs
     if seg2 is not None:
         xs["seg"] = jnp.moveaxis(seg2, 1, 0)
+    if inj_lanes:
+        xs["inj"] = inj  # (H, k, 6, D): scan slices the leading (row) axis
     init = (
         jnp.zeros((6, w, n_disp), cost2.dtype),
         jnp.zeros((2, w), jnp.int32),
@@ -120,10 +138,14 @@ def _row_scan(cost2, pen_static, pen_xs, seg2, n_disp, track_mins):
     return ys
 
 
-def _col_scan(cost2, pen_static, pen_xs, seg2, n_disp, track_mins):
+def _col_scan(cost2, pen_static, pen_xs, seg2, n_disp, track_mins, init_l=None):
     """One scan over columns carrying the 2 horizontal directions.
 
-    cost2: (2, H, W, D) — [normal, col-flipped]."""
+    cost2: (2, H, W, D) — [normal, col-flipped].
+
+    ``init_l`` (2, H, D): initial L-state entering the first scanned
+    column (a neighbor tile's boundary carry, parallel/sgm_exchange.py);
+    non-finite rows reproduce the default path restart."""
     h = cost2.shape[1]
 
     def step(carry, xs):
@@ -148,9 +170,9 @@ def _col_scan(cost2, pen_static, pen_xs, seg2, n_disp, track_mins):
     if seg2 is not None:
         xs["seg"] = jnp.moveaxis(seg2, 2, 0)
     init = (
-        jnp.zeros((2, h, n_disp), cost2.dtype),
+        jnp.zeros((2, h, n_disp), cost2.dtype) if init_l is None else init_l,
         jnp.zeros((2, h), jnp.int32),
-        jnp.ones((), bool),
+        jnp.ones((), bool) if init_l is None else jnp.zeros((), bool),
     )
     _, ys = jax.lax.scan(step, init, xs)
     return ys

@@ -186,6 +186,65 @@ class Profiler:
                         f" host={r['memory'] or 0:.0f}MiB"
                         f" hbm={(r['device_bytes'] or 0) / 2**20:.0f}MiB\n"
                     )
+            _write_icicle_html(os.path.join(output, "time_graph.html"), rows)
+
+
+_ICICLE_COLORS = (
+    "#4e79a7", "#f28e2b", "#59a14f", "#e15759", "#76b7b2",
+    "#edc948", "#b07aa1", "#9c755f",
+)
+
+
+def _write_icicle_html(path: str, rows: List[Dict[str, Any]]) -> None:
+    """Self-contained HTML+SVG icicle time graph — the human-facing
+    artifact matching the reference's plotly ``time_graph.html``
+    (profiler.py:121-168) with zero dependencies: each profiled call is a
+    box at depth ``level``, x-positioned by wall-clock start, width
+    proportional to duration; hover shows name/time/memory."""
+    if not rows:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write("<html><body>no profiled calls</body></html>")
+        return
+    t0 = min(r["call_time"] for r in rows)
+    t1 = max(r["call_time"] + r["time"] for r in rows)
+    span = max(t1 - t0, 1e-9)
+    width, row_h, pad = 1200, 34, 2
+    n_levels = max(r["level"] for r in rows) + 1
+    height = n_levels * (row_h + pad) + 30
+    boxes = []
+    from html import escape
+
+    for i, r in enumerate(sorted(rows, key=lambda r: r["call_time"])):
+        x = (r["call_time"] - t0) / span * width
+        w = max(r["time"] / span * width, 1.5)
+        y = r["level"] * (row_h + pad)
+        color = _ICICLE_COLORS[i % len(_ICICLE_COLORS)]
+        name = escape(str(r["name"]))
+        tip = (
+            f"{name}: {r['time']:.4f}s"
+            f" | host {r['memory'] or 0:.0f} MiB"
+            f" | hbm {(r['device_bytes'] or 0) / 2**20:.0f} MiB"
+        )
+        label = name if w > 8 * len(name) else ""
+        boxes.append(
+            f'<g><rect x="{x:.1f}" y="{y}" width="{w:.1f}" height="{row_h}" '
+            f'fill="{color}" rx="3"><title>{tip}</title></rect>'
+            f'<text x="{x + 4:.1f}" y="{y + row_h * 0.65:.1f}" font-size="12" '
+            f'fill="#fff">{label}</text></g>'
+        )
+    svg = (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="sans-serif">'
+        + "".join(boxes)
+        + f'<text x="0" y="{height - 8}" font-size="11" fill="#666">'
+        f"total {span:.3f}s — hover boxes for timings</text></svg>"
+    )
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(
+            "<!doctype html><html><head><meta charset='utf-8'>"
+            "<title>pandora_tpu profiling</title></head><body>"
+            f"<h3>Call icicle ({len(rows)} profiled calls)</h3>{svg}</body></html>"
+        )
 
 
 def _block_outputs(result: Any) -> None:

@@ -198,6 +198,9 @@ def test_profiling_outputs(tmp_path, cones):
         assert (tmp_path / "profiling" / "raw_data.json").exists()
         assert (tmp_path / "profiling" / "summary.csv").exists()
         assert (tmp_path / "profiling" / "call_tree.txt").exists()
+        # self-contained icicle (reference plotly time_graph parity)
+        html = (tmp_path / "profiling" / "time_graph.html").read_text()
+        assert "<svg" in html and "matching_cost" in html
     finally:
         Profiler.reset()
     assert not Profiler.enabled
