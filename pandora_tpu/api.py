@@ -42,6 +42,11 @@ def get_metadata(
     the disparity source, for config checking and tiling planners."""
     from .io.raster import read_raster_header
 
+    for name, path in (("img", img), ("classif", classif), ("segm", segm), ("edges", edges)):
+        if path is not None and not isinstance(path, str):
+            # reference get_metadata raises on non-path params
+            # (tests/test_pandora_image.py:1079-1110)
+            raise TypeError(f"invalid path or file: {path!r}")
     header = read_raster_header(img)
     bands = header["band_names"]
     if bands is None and header["count"] > 1:
@@ -83,6 +88,13 @@ def create_image_from_inputs(img_cfg: Dict[str, Any], disp, roi: Optional[Dict[s
     for key in ("classif", "segm", "edges"):
         if img_cfg.get(key):
             arr, _, _, _, names = read_raster(img_cfg[key], window=window)
+            if arr.shape[-2:] != data.shape[-2:]:
+                # the reference rejects mismatched auxiliary layers at
+                # creation (create_dataset_from_inputs)
+                raise ValueError(
+                    f"{key} shape {arr.shape[-2:]} does not match image "
+                    f"shape {data.shape[-2:]}"
+                )
             extras[key] = arr[0] if key != "classif" else arr
             if key == "classif" and names:
                 # class names ride the GeoTIFF band descriptions

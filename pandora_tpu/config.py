@@ -89,6 +89,10 @@ def check_input_section(user_input: Dict[str, Any]) -> Dict[str, Any]:
         rdisp = cfg["right"]["disp"]
         if isinstance(rdisp, (list, tuple)) and rdisp[0] > rdisp[1]:
             raise SchemaError("right disp: min must be <= max")
+        if isinstance(rdisp, str):
+            # mixed forms are rejected like the reference's json-checker
+            # schemas (tests/test_config.py:151-166)
+            raise SchemaError("right disp must be an int pair (or None) when left disp is a pair")
     else:
         # grid disparities: right must be a grid or None
         if isinstance(cfg["right"]["disp"], (list, tuple)):
@@ -217,6 +221,14 @@ def check_pipeline_metadata(cfg_input, pipeline, left_meta, right_meta) -> None:
     sides = (("left", left_meta), ("right", right_meta))
     for key, step in pipeline.steps:
         family = key.split(".")[0]
+        if family == "multiscale":
+            # the pyramid rescales the range per level — per-pixel grids
+            # cannot ride it (fixed_zoom_pyramid.py:85-87)
+            for side in ("left", "right"):
+                if isinstance(cfg_input[side].get("disp"), str):
+                    raise SchemaError(
+                        "Multiscale processing does not accept input disparity grids."
+                    )
         if family == "matching_cost":
             band = step.cfg.get("band")
             for side, meta in sides:

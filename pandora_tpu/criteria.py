@@ -32,7 +32,7 @@ def binary_dilation_msk(nodata: jnp.ndarray, window_size: int) -> jnp.ndarray:
     return box_sum_same(nodata.astype(jnp.float32), window_size, window_size) > 0
 
 
-@partial(jax.jit, static_argnames=("d_min", "d_max", "offset", "window_size"))
+@partial(jax.jit, static_argnames=("d_min", "d_max", "offset", "window_size", "n_col_global"))
 def validity_mask(
     d_min: int,
     d_max: int,
@@ -43,6 +43,8 @@ def validity_mask(
     right_msk: Optional[jnp.ndarray] = None,
     left_disp_min: Optional[jnp.ndarray] = None,
     left_disp_max: Optional[jnp.ndarray] = None,
+    col0=None,
+    n_col_global: Optional[int] = None,
 ) -> jnp.ndarray:
     """uint16 validity mask of the cost volume (criteria.validity_mask,
     criteria.py:67-160).
@@ -50,9 +52,21 @@ def validity_mask(
     bits set here: 0 (left nodata dilated), 1 (right range missing),
     2 (right range incomplete), 6 (left input mask), 7 (right input mask),
     12 (variable range partially masked in right).
+
+    ``col0``/``n_col_global``: when the array is a halo-extended TILE of a
+    larger scene (parallel tiling), the range bits 1/2 are keyed to GLOBAL
+    column coordinates (col0 may be a traced per-shard scalar) so edge
+    tiles reproduce the untiled criteria exactly.  Input masks are not
+    supported together with global bounds (the tiled runners pass none).
     """
     n_row, n_col = shape.shape
-    col = jnp.arange(n_col)
+    if col0 is not None:
+        assert left_msk is None and right_msk is None
+        col = jnp.arange(n_col) + col0
+        w_ref = n_col_global  # range bits keyed to the SCENE width
+    else:
+        col = jnp.arange(n_col)
+        w_ref = n_col
     mask = jnp.zeros((n_row, n_col), jnp.uint16)
 
     # --- fixed-range border bits 1 / 2 (criteria.py:113-150) -------------
@@ -60,11 +74,11 @@ def validity_mask(
         bit1_col = (col + d_max) < offset
         bit2_col = ((col + d_max) >= offset) & ((col + d_min) < offset)
     elif d_min > 0:
-        bit1_col = (col + d_min) > (n_col - 1 - offset)
-        bit2_col = ((col + d_min) <= (n_col - 1 - offset)) & ((col + d_max) > (n_col - 1 - offset))
+        bit1_col = (col + d_min) > (w_ref - 1 - offset)
+        bit2_col = ((col + d_min) <= (w_ref - 1 - offset)) & ((col + d_max) > (w_ref - 1 - offset))
     else:
         bit1_col = jnp.zeros(n_col, bool)
-        bit2_col = ((col + d_min) < offset) | ((col + d_max) > (n_col - 1 - offset))
+        bit2_col = ((col + d_min) < offset) | ((col + d_max) > (w_ref - 1 - offset))
     mask += jnp.where(bit2_col, cst.PANDORA_MSK_PIXEL_RIGHT_INCOMPLETE_DISPARITY_RANGE, 0).astype(
         jnp.uint16
     )[None, :]
@@ -155,18 +169,62 @@ def partially_missing_variable_ranges(
     return ~found
 
 
-def mask_border(mask: jnp.ndarray, offset: int) -> jnp.ndarray:
+def mask_border(mask: jnp.ndarray, offset: int, bounds=None) -> jnp.ndarray:
     """Overwrite (not OR) the window border with the border bit
-    (criteria.mask_border, criteria.py:325-353)."""
+    (criteria.mask_border, criteria.py:325-353).
+
+    ``bounds = (row0, col0, n_row_global, n_col_global)``: the array is a
+    tile of a larger scene — the ring is keyed to the SCENE borders
+    (row0/col0 may be traced per-shard scalars)."""
     if offset <= 0:
         return mask
     n_row, n_col = mask.shape
-    row = jnp.arange(n_row)[:, None]
-    col = jnp.arange(n_col)[None, :]
-    border = (row < offset) | (row >= n_row - offset) | (col < offset) | (col >= n_col - offset)
+    if bounds is not None:
+        row0, col0, n_row_ref, n_col_ref = bounds
+        row = jnp.arange(n_row)[:, None] + row0
+        col = jnp.arange(n_col)[None, :] + col0
+    else:
+        n_row_ref, n_col_ref = n_row, n_col
+        row = jnp.arange(n_row)[:, None]
+        col = jnp.arange(n_col)[None, :]
+    border = (row < offset) | (row >= n_row_ref - offset) | (col < offset) | (col >= n_col_ref - offset)
     return jnp.where(
         border, jnp.uint16(cst.PANDORA_MSK_PIXEL_LEFT_NODATA_OR_BORDER), mask
     )
+
+
+def mask_cv_global_bounds(
+    cv: jnp.ndarray,
+    d_min: int,
+    d_max: int,
+    subpix: int,
+    offset: int,
+    bounds,
+    invalid_value=jnp.nan,
+) -> jnp.ndarray:
+    """Invalidate cost-volume entries whose left or right window support
+    crosses the TRUE scene bounds (census.cpp:132-158 validity, keyed to
+    global coordinates).
+
+    For a halo-extended tile this reproduces exactly the entries the
+    untiled program never writes: edge tiles then behave like the untiled
+    run at scene borders (path restarts, all-NaN WTA lanes, NaN-ignoring
+    filters).  ``bounds = (row0, col0, H, W)`` with row0/col0 possibly
+    traced per-shard scalars."""
+    h, w, n_disp = cv.shape
+    row0, col0, n_row_g, n_col_g = bounds
+    gr = jnp.arange(h) + row0
+    gc = (jnp.arange(w) + col0)[:, None]  # (W, 1)
+    k = jnp.arange(n_disp)[None, :]  # (1, D)
+    d_int = d_min + k // subpix
+    i_shift = k % subpix
+    right_x = gc + d_int
+    valid = (gc >= offset) & (gc < n_col_g - offset)
+    valid &= (right_x >= offset) & (right_x < n_col_g - offset)
+    valid &= jnp.where(i_shift > 0, right_x < n_col_g - offset - 1, True)
+    rows_valid = (gr >= offset) & (gr < n_row_g - offset)
+    full = rows_valid[:, None, None] & valid[None, :, :]
+    return jnp.where(full, cv, jnp.asarray(invalid_value, cv.dtype))
 
 
 def mask_invalid_variable_disparity_range(cv: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -199,6 +199,25 @@ def make_image(
     )
 
 
+def add_global_disparity(img: Image, global_min: float, global_max: float) -> Image:
+    """Attach the scene-global disparity extrema used for tile-consistent
+    ambiguity normalization (reference img_tools.add_global_disparity,
+    the CARS tiling hook): the global range must ENCLOSE the image's own
+    grid range, else the ambiguity normalization would clip."""
+    import numpy as np
+
+    if img.disp_min is not None:
+        grid_min = float(np.min(np.asarray(img.disp_min)))
+        grid_max = float(np.max(np.asarray(img.disp_max)))
+        if global_min > grid_min or global_max < grid_max:
+            raise ValueError(
+                "For ambiguity step, the global disparity must be outside "
+                "the range of the grid disparity"
+            )
+    img.global_disparity = (global_min, global_max)
+    return img
+
+
 def disparity_extrema(img: Image) -> Tuple[int, int]:
     """Static (floor(min), ceil(max)) over the disparity grids.
 

@@ -42,6 +42,7 @@ def stereo_pipeline(
     refinement: Optional[str] = "vfit",
     median_size: int = 0,
     sgm_fused_epilogue: bool = True,
+    global_bounds=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full stereo step as a pure function: (left, right[, masks]) →
     (disparity, validity_mask).  All config is static.
@@ -52,11 +53,19 @@ def stereo_pipeline(
     bits — same 13-bit product as the modular Pipeline.
 
     ``sgm_fused_epilogue=False`` forces the materializing Σ+WTA+refine
-    epilogue instead of the combine-kernel fast path (A/B benchmarking)."""
+    epilogue instead of the combine-kernel fast path (A/B benchmarking).
+
+    ``global_bounds = (row0, col0, H, W)``: the input is a halo-extended
+    TILE of an H×W scene starting at (row0, col0) (traced per-shard
+    scalars; H/W static).  Criteria bits and cost-volume validity are then
+    keyed to the SCENE bounds, so scene-edge tiles reproduce the untiled
+    program exactly (input masks unsupported in this mode)."""
     from . import criteria
     from .ops import cost_volume as cv_ops
 
     offset = (window_size - 1) // 2
+    if global_bounds is not None:
+        assert left_msk is None and right_msk is None
     # the reference always materializes (2, row, col) disparity grids
     # (img_tools.add_disparity), so the bit-12 variable-range check runs
     # whenever the right image is masked, even for constant pairs
@@ -75,6 +84,8 @@ def stereo_pipeline(
         right_msk,
         grid_min,
         grid_max,
+        col0=None if global_bounds is None else global_bounds[1],
+        n_col_global=None if global_bounds is None else global_bounds[3],
     )
     # NOTE: mask_border is applied AFTER the all-NaN bit-1 pass below,
     # matching the modular _compute_cv ordering (steps/matching_cost.py).
@@ -98,7 +109,7 @@ def stereo_pipeline(
         # input-mask invalidation is baked into the census sentinel pass
         return _census_sgm_fast_path(
             left, right, left_msk, right_msk, vmask0, dmin, dmax, subpix,
-            window_size, p1, p2, refinement, median_size,
+            window_size, p1, p2, refinement, median_size, global_bounds,
         )
     if matching_cost == "census":
         cv = census_cost_volume(
@@ -119,6 +130,12 @@ def stereo_pipeline(
     else:
         cv = zncc_cost_volume(left, right, dmin, dmax, subpix, window_size)
         type_measure = "max"
+    if global_bounds is not None:
+        # entries whose support crosses the TRUE scene bounds are never
+        # written by the untiled program — scene-edge tiles must match
+        cv = criteria.mask_cv_global_bounds(
+            cv, dmin, dmax, subpix, offset, global_bounds
+        )
     presubstituted = False
     disp_vals = jnp.asarray(disparity_range(dmin, dmax, subpix), jnp.float32)
 
@@ -131,7 +148,7 @@ def stereo_pipeline(
             cv, left_mask, right_masks, disp_vals, None, None, dmin, dmax, subpix
         )
     vmask0 = criteria.mask_invalid_variable_disparity_range(cv, vmask0)
-    vmask0 = criteria.mask_border(vmask0, offset)
+    vmask0 = criteria.mask_border(vmask0, offset, bounds=global_bounds)
 
     if optimization == "sgm":
         use_pallas = sgm_ops.default_use_pallas()
@@ -227,7 +244,7 @@ def _invalid_bool(msk, window_size):
     return invalid | binary_dilation_msk(msk == 1, window_size)
 
 
-def _finish_vmask(vmask0, invalid_mc, offset):
+def _finish_vmask(vmask0, invalid_mc, offset, global_bounds=None):
     """Replicate the modular pipeline's mask flow after WTA-equivalent
     invalid detection: all-invalid lanes get bit 1 if unflagged
     (criteria.mask_invalid_variable_disparity_range), the border ring is
@@ -239,14 +256,14 @@ def _finish_vmask(vmask0, invalid_mc, offset):
     vm = jnp.where(
         invalid_mc & ((vmask0 & bit1) == 0), vmask0 + bit1, vmask0
     ).astype(jnp.uint16)
-    vm = mask_border(vm, offset)
+    vm = mask_border(vm, offset, bounds=global_bounds)
     newly = invalid_mc & ((vm & cst.PANDORA_MSK_PIXEL_INVALID) == 0)
     return jnp.where(newly, jnp.uint16(cst.PANDORA_MSK_PIXEL_INVALID), vm)
 
 
 def _census_sgm_fast_path(
     left, right, left_msk, right_msk, vmask0, dmin, dmax, subpix, window_size,
-    p1, p2, refinement, median_size,
+    p1, p2, refinement, median_size, global_bounds=None,
 ):
     """census → 8-path SGM → WTA → refine → median as three Pallas kernels
     plus XLA glue, with the cost volume built directly in both scan
@@ -282,6 +299,27 @@ def _census_sgm_fast_path(
         right_invalid=_invalid_bool(right_msk, window_size),
         interpret=_INTERPRET,
     )
+    if global_bounds is not None:
+        # sentinel-invalidate entries whose support crosses the TRUE
+        # scene bounds, in both scan layouts (cheap elementwise pass)
+        sentinel = 255 if dtype == jnp.uint8 else _SUPER
+        row0, col0, n_row_g, n_col_g = global_bounds
+        offset = (window_size - 1) // 2
+        h8, d8, w8 = cost_rdw.shape
+        gr = jnp.arange(h8) + row0
+        gc = jnp.arange(w8) + col0
+        k = jnp.arange(d8)
+        d_int = dmin + k // subpix
+        i_shift = k % subpix
+        rows_ok = (gr >= offset) & (gr < n_row_g - offset)
+        cols_ok = (gc >= offset) & (gc < n_col_g - offset)
+        right_x = gc[None, :] + d_int[:, None]  # (D8, W8)
+        r_ok = (right_x >= offset) & (right_x < n_col_g - offset)
+        r_ok &= jnp.where(i_shift[:, None] > 0, right_x < n_col_g - offset - 1, True)
+        ok_rdw = rows_ok[:, None, None] & (cols_ok[None, :] & r_ok)[None, :, :]
+        cost_rdw = jnp.where(ok_rdw, cost_rdw, jnp.asarray(sentinel, cost_rdw.dtype))
+        ok_cdh = jnp.transpose(ok_rdw, (2, 1, 0))[: cost_cdh.shape[0], :, : cost_cdh.shape[2]]
+        cost_cdh = jnp.where(ok_cdh, cost_cdh, jnp.asarray(sentinel, cost_cdh.dtype))
     # block=16 halves the grid-step count of the scan passes (measured
     # ~8% faster than 8, scripts/sweep_kernels.py; 32 regresses)
     parts = sgm_partials_from_layouts(
@@ -293,7 +331,7 @@ def _census_sgm_fast_path(
     disp = jnp.float32(dmin) + idx.astype(jnp.float32) / jnp.float32(subpix)
     invalid_mc = jnp.isnan(c1)  # every disparity invalid (wta all-NaN rule)
     disp = jnp.where(invalid_mc, jnp.nan, disp)
-    vmask = _finish_vmask(vmask0, invalid_mc, (window_size - 1) // 2)
+    vmask = _finish_vmask(vmask0, invalid_mc, (window_size - 1) // 2, global_bounds)
     if refinement in ("vfit", "quadratic"):
         disp, vmask, _ = refine_from_triplet(
             c0, c1, c2, disp, vmask, float(dmin), float(dmax), subpix, "min", refinement

@@ -214,16 +214,21 @@ def exchange_tiled_stereo_pipeline(
             measure = "max"
         return cv, measure
 
-    def prep_tile(left_ext, right_ext, w):
+    def prep_tile(left_ext, right_ext, w, col0, w_global):
         """Cost volume + validity on the hm-extended block, cropped to the
-        tile's own columns (mirrors fused.stereo_pipeline's ordering)."""
+        tile's own columns (mirrors fused.stereo_pipeline's ordering).
+        Criteria bits and cost validity are keyed to the GLOBAL scene
+        bounds so scene-edge tiles match the untiled program."""
+        bounds = (0, col0, left_ext.shape[0], w_global)
         vmask0 = criteria.validity_mask(
             dmin, dmax, offset, window_size,
             jnp.zeros(left_ext.shape, jnp.uint8), None, None, None, None,
+            col0=col0, n_col_global=w_global,
         )
         cv, measure = build_cv(left_ext, right_ext)
+        cv = criteria.mask_cv_global_bounds(cv, dmin, dmax, subpix, offset, bounds)
         vmask0 = criteria.mask_invalid_variable_disparity_range(cv, vmask0)
-        vmask0 = criteria.mask_border(vmask0, offset)
+        vmask0 = criteria.mask_border(vmask0, offset, bounds=bounds)
         cv = jax.lax.dynamic_slice_in_dim(cv, hm, w, axis=1)
         vmask0 = jax.lax.dynamic_slice_in_dim(vmask0, hm, w, axis=1)
         work = -cv if measure == "max" else cv
@@ -239,7 +244,11 @@ def exchange_tiled_stereo_pipeline(
         left_ext = _exchange_halo(left, ch, -1, axis)
         right_ext = _exchange_halo(right, ch, -1, axis)
 
-        work, invalid, vmask0 = jax.vmap(partial(prep_tile, w=w))(left_ext, right_ext)
+        col0 = jax.lax.axis_index(axis) * w - ch
+        w_global = w * jax.lax.axis_size(axis)
+        work, invalid, vmask0 = jax.vmap(
+            partial(prep_tile, w=w, col0=col0, w_global=w_global)
+        )(left_ext, right_ext)
 
         # ---- sweep 1: tile-local scans + boundary histories ----------------
         row_n, row_f, col_n, col_f, edges = jax.vmap(

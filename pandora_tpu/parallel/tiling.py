@@ -60,24 +60,33 @@ def _exchange_halo(x: jnp.ndarray, halo: int, axis: int, axis_name: str) -> jnp.
 
 
 def halo_width(
-    dmin: int, dmax: int, window_size: int, use_sgm: bool, filter_margin: int = 0
+    dmin: int, dmax: int, window_size: int, use_sgm: bool, filter_margin: int = 0,
+    sgm_margin: Optional[int] = None,
 ) -> int:
     """Column halo: half window + disparity reach (the zone whose cost
-    support is incomplete at a block edge), + the SGM 40 px influence
-    margin, + the spatial reach of post-WTA filters (which read halo-column
-    disparities)."""
+    support is incomplete at a block edge), + the SGM influence margin
+    (the reference's 40 px truncation by default), + the spatial reach of
+    post-WTA filters (which read halo-column disparities)."""
     halo = (window_size - 1) // 2 + max(abs(dmin), abs(dmax))
     if use_sgm:
-        halo += SGM_MARGINS.left
+        halo += SGM_MARGINS.left if sgm_margin is None else sgm_margin
     return halo + filter_margin
 
 
-def row_halo_width(window_size: int, use_sgm: bool, filter_margin: int = 0) -> int:
-    """Row halo: half window (border-invalid zone) + SGM 40 px margin +
-    post-WTA filter reach (no disparity reach — shifts are horizontal)."""
+def row_halo_width(
+    window_size: int, use_sgm: bool, filter_margin: int = 0,
+    sgm_margin: Optional[int] = None,
+) -> int:
+    """Row halo: half window (border-invalid zone) + SGM influence margin
+    + post-WTA filter reach (no disparity reach — shifts are horizontal).
+
+    Near heavy invalid runs (e.g. the NaN wedge at a scene's disparity-
+    reach edge) SGM influence decays slower than the 40 px contract;
+    raising ``sgm_margin`` to ~100 makes 2-D tiling bit-exact against
+    untiled on cones (tests/test_tiling.py)."""
     halo = (window_size - 1) // 2
     if use_sgm:
-        halo += SGM_MARGINS.up
+        halo += SGM_MARGINS.up if sgm_margin is None else sgm_margin
     return halo + filter_margin
 
 
@@ -94,6 +103,7 @@ def tiled_stereo_pipeline(
     p2: float = 32.0,
     refinement: Optional[str] = "vfit",
     median_size: int = 0,
+    sgm_margin: Optional[int] = None,
 ):
     """Build a jitted function (batch, rows, cols) ×2 → (disparity, validity)
     sharded over the mesh.
@@ -101,14 +111,19 @@ def tiled_stereo_pipeline(
     Supports the ``("data", "tile")`` mesh (column tiling; inputs sharded
     P("data", None, "tile")) and the ``("data", "row", "col")`` mesh (2-D
     tiling; inputs sharded P("data", "row", "col")).  Per-shard extents must
-    divide the global ones.
+    divide the global ones.  ``sgm_margin`` overrides the 40 px influence
+    truncation (fidelity/redundancy knob; see row_halo_width).
     """
     two_d = "row" in mesh.axis_names and "col" in mesh.axis_names
     col_axis = "col" if two_d else "tile"
     filter_margin = median_size // 2
-    col_halo = halo_width(dmin, dmax, window_size, optimization == "sgm", filter_margin)
+    col_halo = halo_width(
+        dmin, dmax, window_size, optimization == "sgm", filter_margin, sgm_margin
+    )
     row_halo = (
-        row_halo_width(window_size, optimization == "sgm", filter_margin) if two_d else 0
+        row_halo_width(window_size, optimization == "sgm", filter_margin, sgm_margin)
+        if two_d
+        else 0
     )
 
     def per_shard(left, right):
@@ -123,6 +138,19 @@ def tiled_stereo_pipeline(
             left_ext = _exchange_halo(left_ext, rh, -2, "row")
             right_ext = _exchange_halo(right_ext, rh, -2, "row")
 
+        # GLOBAL scene coordinates of the extended block: criteria bits
+        # and cost validity are keyed to the true scene bounds, so
+        # scene-edge tiles reproduce the untiled program exactly (no
+        # zero-fill artifacts; the halo beyond the scene is sentinel-
+        # invalidated, which equals the untiled restart-at-border)
+        col0 = jax.lax.axis_index(col_axis) * left.shape[-1] - ch
+        w_global = left.shape[-1] * jax.lax.axis_size(col_axis)
+        if two_d and rh:
+            row0 = jax.lax.axis_index("row") * left.shape[-2] - rh
+            h_global = left.shape[-2] * jax.lax.axis_size("row")
+        else:
+            row0, h_global = 0, left.shape[-2]
+
         run = partial(
             stereo_pipeline,
             dmin=dmin,
@@ -135,6 +163,7 @@ def tiled_stereo_pipeline(
             p2=p2,
             refinement=refinement,
             median_size=median_size,
+            global_bounds=(row0, col0, h_global, w_global),
         )
         disp, vmask = jax.vmap(run)(left_ext, right_ext)
         if two_d and rh:

@@ -78,9 +78,9 @@ def test_exchange_tiled_bitexact_at_halo_equivalent_influence():
     disp_t, vmask_t = tiled_fn(jax.device_put(left, sh), jax.device_put(right, sh))
     disp_u, vmask_u = _untiled(left, right, **CFG)
     assert halo + 1 < (cols // n_tile) // 2
-    _assert_interior_equal(
-        disp_t, vmask_t, disp_u, vmask_u, np.s_[:, :, halo : cols - halo]
-    )
+    # FULL scene — scene-edge tiles carry the true border criteria
+    # (global-bounds masking), so no crop at all
+    _assert_interior_equal(disp_t, vmask_t, disp_u, vmask_u, np.s_[:, :, :])
 
 
 @pytest.mark.functional

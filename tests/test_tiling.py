@@ -71,7 +71,10 @@ def _assert_interior_equal(disp_t, vmask_t, disp_u, vmask_u, interior):
     np.testing.assert_allclose(both, 0.0, atol=0.0)
 
 
-def test_col_tiled_matches_untiled_interior_local():
+def test_col_tiled_matches_untiled_full_scene_local():
+    """No interior crop: scene-edge tiles carry the TRUE border criteria
+    (global-bounds masking), so tiled == untiled over the WHOLE scene for
+    local pipelines (round-5 VERDICT #10)."""
     cfg = dict(CFG, optimization=None)
     rows, cols, n_tile = 40, 4 * 64, 4
     left, right = _pair(rows, cols)
@@ -84,13 +87,14 @@ def test_col_tiled_matches_untiled_interior_local():
 
     halo = halo_width(cfg["dmin"], cfg["dmax"], cfg["window_size"], False, 1)
     assert halo < cols // n_tile  # halo fits one shard: contract applies
-    _assert_interior_equal(
-        disp_t, vmask_t, disp_u, vmask_u, np.s_[:, :, halo : cols - halo]
-    )
+    _assert_interior_equal(disp_t, vmask_t, disp_u, vmask_u, np.s_[:, :, :])
 
 
 @pytest.mark.functional
-def test_col_tiled_matches_untiled_interior_sgm_cones():
+def test_col_tiled_matches_untiled_full_scene_sgm_cones():
+    """SGM variant over the WHOLE scene: interior tile boundaries are
+    exact under the 40 px influence contract (the replication halo) and
+    scene-edge tiles now carry the true border criteria, so no crop."""
     cfg = dict(CFG, dmin=-60, optimization="sgm")
     rows, cols, n_tile = 375, 448, 4
     left, right = _cones_pair(rows, cols)
@@ -103,13 +107,33 @@ def test_col_tiled_matches_untiled_interior_sgm_cones():
 
     halo = halo_width(cfg["dmin"], cfg["dmax"], cfg["window_size"], True, 1)
     assert halo < cols // n_tile
-    _assert_interior_equal(
-        disp_t, vmask_t, disp_u, vmask_u, np.s_[:, :, halo : cols - halo]
-    )
+    _assert_interior_equal(disp_t, vmask_t, disp_u, vmask_u, np.s_[:, :, :])
 
 
 @pytest.mark.functional
-def test_2d_tiled_matches_untiled_interior_sgm_cones():
+def test_2d_tiled_full_scene_sgm_cones_bitexact_at_margin_100():
+    """2-D tiling over the WHOLE scene, bit-exact, with the SGM influence
+    margin raised to 100 px: near the scene's heavy-NaN disparity wedge
+    the influence decays slower than the reference's 40 px contract, and
+    the deeper row halo absorbs it (round-5 VERDICT #10)."""
+    cfg = dict(CFG, dmin=-60, optimization="sgm")
+    rows, cols = 374, 448
+    left, right = _cones_pair(rows, cols)
+    mesh = make_mesh2d(n_data=1, n_row=2, n_col=2)
+    tiled_fn = tiled_stereo_pipeline(mesh, sgm_margin=100, **cfg)
+
+    sh = NamedSharding(mesh, P("data", "row", "col"))
+    disp_t, vmask_t = tiled_fn(jax.device_put(left, sh), jax.device_put(right, sh))
+    disp_u, vmask_u = _untiled(left, right, **cfg)
+    _assert_interior_equal(disp_t, vmask_t, disp_u, vmask_u, np.s_[:, :, :])
+
+
+@pytest.mark.functional
+def test_2d_tiled_full_scene_sgm_cones_contract_at_default_margin():
+    """At the reference's default 40 px margin the 2-D full-scene result
+    carries only contract residuals: validity masks identical, and a
+    vanishing fraction of disparities differ where the row-tile boundary
+    interacts with the scene-edge NaN zones (79/167552 measured)."""
     cfg = dict(CFG, dmin=-60, optimization="sgm")
     rows, cols = 374, 448
     left, right = _cones_pair(rows, cols)
@@ -123,9 +147,12 @@ def test_2d_tiled_matches_untiled_interior_sgm_cones():
     ch = halo_width(cfg["dmin"], cfg["dmax"], cfg["window_size"], True, 1)
     rh = row_halo_width(cfg["window_size"], True, 1)
     assert ch < cols // 2 and rh < rows // 2
-    _assert_interior_equal(
-        disp_t, vmask_t, disp_u, vmask_u, np.s_[:, rh : rows - rh, ch : cols - ch]
-    )
+    np.testing.assert_array_equal(np.asarray(vmask_t), vmask_u)
+    dt = np.asarray(disp_t)
+    diff = np.where(np.isnan(dt) & np.isnan(disp_u), 0.0, dt - disp_u)
+    assert float((diff != 0).mean()) <= 1e-3
+    # and bit-exact outside the scene-edge column bands where the wedge sits
+    np.testing.assert_allclose(diff[:, :, ch : cols - ch], 0.0, atol=0.0)
 
 
 def test_mesh_of_one_degenerate():
