@@ -226,6 +226,13 @@ def disparity_extrema(img: Image) -> Tuple[int, int]:
     masks, matching_cost.py:852-860)."""
     if img.disp_min is None:
         raise ValueError("image has no disparity range")
+    # memoized per (grid identity): the device_get round trip costs ~ms on
+    # a remote-tunneled TPU and serving re-runs the same image many times
+    cache = getattr(img, "_extrema_cache", None)
+    key = (id(img.disp_min), id(img.disp_max))
+    if cache is not None and cache[0] == key:
+        return cache[1]
     dmin = int(np.floor(np.asarray(jax.device_get(img.disp_min)).min()))
     dmax = int(np.ceil(np.asarray(jax.device_get(img.disp_max)).max()))
+    img._extrema_cache = (key, (dmin, dmax))
     return dmin, dmax

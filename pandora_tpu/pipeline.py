@@ -193,20 +193,26 @@ class Pipeline:
     _fused_cache: Dict[tuple, Any] = {}
 
     def _run_fused(self, state: PipelineState, plan) -> None:
+        import jax
         import jax.numpy as jnp
         import numpy as np
 
         from .datamodel import DisparityMap
-        from .fused import make_jitted_pipeline
+        from .fused import stereo_pipeline
 
         img_l, img_r = state.left_img, state.right_img
+        invalid = plan["invalid"]
         cfg_key = (
             plan["dmin"], plan["dmax"], plan["subpix"], plan["window_size"],
-            plan["p1"], plan["p2"], plan.get("refinement"), plan.get("median_size", 0),
+            plan["p1"], plan["p2"], plan.get("refinement"),
+            plan.get("median_size", 0), invalid,
         )
         fn = Pipeline._fused_cache.get(cfg_key)
         if fn is None:
-            fn = make_jitted_pipeline(
+            from functools import partial
+
+            base = partial(
+                stereo_pipeline,
                 dmin=plan["dmin"],
                 dmax=plan["dmax"],
                 subpix=plan["subpix"],
@@ -218,6 +224,19 @@ class Pipeline:
                 refinement=plan.get("refinement"),
                 median_size=plan.get("median_size", 0),
             )
+
+            # ONE jitted program including the invalid-value substitution:
+            # wta() fills all-NaN lanes with the configured invalid value,
+            # and the fused path's NaN marks exactly those lanes (a
+            # separate post-jit where() would cost an extra dispatch round
+            # trip per frame on a remote-tunneled TPU)
+            def run(li, ri, lm, rm):
+                d, v = base(li, ri, lm, rm)
+                if not np.isnan(invalid):
+                    d = jnp.where(jnp.isnan(d), jnp.float32(invalid), d)
+                return d, v
+
+            fn = jax.jit(run)
             Pipeline._fused_cache[cfg_key] = fn
         left = img_l.band(plan["band"])
         right = img_r.band(plan["band"])
@@ -226,11 +245,6 @@ class Pipeline:
         lmsk = img_l.std_msk()
         rmsk = img_r.std_msk()
         disp, vmask = fn(left, right, lmsk, rmsk)
-        invalid = plan["invalid"]
-        # wta() fills all-NaN lanes with the configured invalid value; the
-        # fused path's NaN marks exactly those lanes
-        if not np.isnan(invalid):
-            disp = jnp.where(jnp.isnan(disp), jnp.float32(invalid), disp)
         state.dmin, state.dmax = plan["dmin"], plan["dmax"]
         state.left_disparity = DisparityMap(
             disparity_map=disp,
