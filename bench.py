@@ -7,12 +7,14 @@ Prints ONE JSON line:
    (same census+SGM+WTA algorithm, measured on this machine — the
    reference CNES/Pandora publishes no perf numbers, BASELINE.md)}
 
-The cones bad-1 accuracy line through the compiled TPU path ALWAYS runs
-(it is the only artifact exercising compiled Mosaic kernels each round;
-gate <= 0.20, reference functional_tests/test_basic.py:159).  Options:
-  --stages       also print a per-stage timing breakdown (one JSON line
-                 per stage) before the headline line
-  --no-accuracy  skip the cones accuracy line (quick timing-only runs)
+Every run also emits: the cones bad-1 accuracy line through the compiled
+TPU path (gate <= 0.20, reference functional_tests/test_basic.py:159),
+the compiled-kernel equality checks, the per-stage timing breakdown, the
+modular-JSON-engine line, and the tiled-SGM scheme comparison — all
+unconditional so each round's artifact pins them.  Options:
+  --no-accuracy  timing-only run: skip everything except the headline
+  --scene        also run the SceneRunner large-scene line (host-IO-bound
+                 on a tunneled TPU)
 
 Timing methodology: the axon TPU platform's block_until_ready does not
 synchronize, so each timed batch chains a scalar nansum per run and forces

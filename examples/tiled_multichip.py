@@ -43,3 +43,27 @@ disp, vmask = fn(jax.device_put(left, sharding), jax.device_put(right, sharding)
 disp = np.asarray(disp)
 print(f"tiled disparity: {disp.shape}, range [{np.nanmin(disp):.1f}, {np.nanmax(disp):.1f}]")
 print("output sharding:", getattr(disp, "sharding", "(host numpy)"))
+
+# ---- boundary-state exchange scheme --------------------------------------
+# Same interface, O(influence x boundary) redundancy instead of the
+# replication halo (see docs/distributed.md): tiles scan their own
+# columns and ppermute the directional SGM boundary state.
+from pandora_tpu.parallel import exchange_tiled_stereo_pipeline
+
+fn2 = exchange_tiled_stereo_pipeline(
+    mesh,
+    dmin=-60,
+    dmax=0,
+    window_size=5,
+    matching_cost="census",
+    p1=8.0,
+    p2=32.0,
+    refinement="vfit",
+    median_size=3,
+)
+disp2, _ = fn2(jax.device_put(left, sharding), jax.device_put(right, sharding))
+disp2 = np.asarray(disp2)
+same = np.mean(
+    (disp2 == disp) | (np.isnan(disp2) & np.isnan(disp))
+)
+print(f"exchange-scheme disparity: {disp2.shape}, agrees with replication on {same:.2%} of pixels")

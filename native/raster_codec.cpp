@@ -131,7 +131,10 @@ int decode_lzw(const uint8_t* src, int64_t src_len, uint8_t* dst,
     // TIFF early change: widen one code early
     if (next_code == (1 << width) - 1 && width < 12) ++width;
   }
-  return 0;
+  // a truncated stream (early EOI) must surface as an error so the caller
+  // falls back to the strict Python decoder instead of silently keeping a
+  // zero-filled tail (same contract as decode_packbits)
+  return o == dst_cap ? 0 : -4;
 }
 
 int decode_one(const uint8_t* raw, uint8_t* dst, const Chunk& c,

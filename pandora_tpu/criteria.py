@@ -193,6 +193,28 @@ def mask_border(mask: jnp.ndarray, offset: int, bounds=None) -> jnp.ndarray:
     )
 
 
+def global_support_masks(d_min: int, subpix: int, offset: int, bounds,
+                         n_rows: int, n_cols: int, n_disp: int):
+    """The census.cpp:132-158 validity predicate keyed to GLOBAL scene
+    coordinates, split into broadcastable parts: (rows_ok (H,),
+    coldisp_ok (W, D)).  ``bounds = (row0, col0, H_scene, W_scene)`` with
+    row0/col0 possibly traced per-shard scalars.  The single source of
+    truth for both the lax cost volume (mask_cv_global_bounds) and the
+    uint8 scan-layout fast path (fused._census_sgm_fast_path)."""
+    row0, col0, n_row_g, n_col_g = bounds
+    gr = jnp.arange(n_rows) + row0
+    gc = (jnp.arange(n_cols) + col0)[:, None]  # (W, 1)
+    k = jnp.arange(n_disp)[None, :]  # (1, D)
+    d_int = d_min + k // subpix
+    i_shift = k % subpix
+    right_x = gc + d_int
+    valid = (gc >= offset) & (gc < n_col_g - offset)
+    valid &= (right_x >= offset) & (right_x < n_col_g - offset)
+    valid &= jnp.where(i_shift > 0, right_x < n_col_g - offset - 1, True)
+    rows_ok = (gr >= offset) & (gr < n_row_g - offset)
+    return rows_ok, valid
+
+
 def mask_cv_global_bounds(
     cv: jnp.ndarray,
     d_min: int,
@@ -212,18 +234,8 @@ def mask_cv_global_bounds(
     filters).  ``bounds = (row0, col0, H, W)`` with row0/col0 possibly
     traced per-shard scalars."""
     h, w, n_disp = cv.shape
-    row0, col0, n_row_g, n_col_g = bounds
-    gr = jnp.arange(h) + row0
-    gc = (jnp.arange(w) + col0)[:, None]  # (W, 1)
-    k = jnp.arange(n_disp)[None, :]  # (1, D)
-    d_int = d_min + k // subpix
-    i_shift = k % subpix
-    right_x = gc + d_int
-    valid = (gc >= offset) & (gc < n_col_g - offset)
-    valid &= (right_x >= offset) & (right_x < n_col_g - offset)
-    valid &= jnp.where(i_shift > 0, right_x < n_col_g - offset - 1, True)
-    rows_valid = (gr >= offset) & (gr < n_row_g - offset)
-    full = rows_valid[:, None, None] & valid[None, :, :]
+    rows_ok, cd_ok = global_support_masks(d_min, subpix, offset, bounds, h, w, n_disp)
+    full = rows_ok[:, None, None] & cd_ok[None, :, :]
     return jnp.where(full, cv, jnp.asarray(invalid_value, cv.dtype))
 
 

@@ -226,13 +226,18 @@ def disparity_extrema(img: Image) -> Tuple[int, int]:
     masks, matching_cost.py:852-860)."""
     if img.disp_min is None:
         raise ValueError("image has no disparity range")
-    # memoized per (grid identity): the device_get round trip costs ~ms on
-    # a remote-tunneled TPU and serving re-runs the same image many times
+    # memoized per grid identity: the device_get round trip costs ~ms on
+    # a remote-tunneled TPU and serving re-runs the same image many times.
+    # The cache HOLDS the keyed arrays (not bare ids) so a freed grid's
+    # recycled address can never alias a stale entry.
     cache = getattr(img, "_extrema_cache", None)
-    key = (id(img.disp_min), id(img.disp_max))
-    if cache is not None and cache[0] == key:
-        return cache[1]
+    if (
+        cache is not None
+        and cache[0] is img.disp_min
+        and cache[1] is img.disp_max
+    ):
+        return cache[2]
     dmin = int(np.floor(np.asarray(jax.device_get(img.disp_min)).min()))
     dmax = int(np.ceil(np.asarray(jax.device_get(img.disp_max)).max()))
-    img._extrema_cache = (key, (dmin, dmax))
+    img._extrema_cache = (img.disp_min, img.disp_max, (dmin, dmax))
     return dmin, dmax

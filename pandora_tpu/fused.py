@@ -300,23 +300,17 @@ def _census_sgm_fast_path(
         interpret=_INTERPRET,
     )
     if global_bounds is not None:
-        # sentinel-invalidate entries whose support crosses the TRUE
-        # scene bounds, in both scan layouts (cheap elementwise pass)
+        # sentinel-invalidate entries whose support crosses the TRUE scene
+        # bounds, in both scan layouts (cheap elementwise pass; same
+        # predicate as the lax path via criteria.global_support_masks)
+        from .criteria import global_support_masks
+
         sentinel = 255 if dtype == jnp.uint8 else _SUPER
-        row0, col0, n_row_g, n_col_g = global_bounds
-        offset = (window_size - 1) // 2
         h8, d8, w8 = cost_rdw.shape
-        gr = jnp.arange(h8) + row0
-        gc = jnp.arange(w8) + col0
-        k = jnp.arange(d8)
-        d_int = dmin + k // subpix
-        i_shift = k % subpix
-        rows_ok = (gr >= offset) & (gr < n_row_g - offset)
-        cols_ok = (gc >= offset) & (gc < n_col_g - offset)
-        right_x = gc[None, :] + d_int[:, None]  # (D8, W8)
-        r_ok = (right_x >= offset) & (right_x < n_col_g - offset)
-        r_ok &= jnp.where(i_shift[:, None] > 0, right_x < n_col_g - offset - 1, True)
-        ok_rdw = rows_ok[:, None, None] & (cols_ok[None, :] & r_ok)[None, :, :]
+        rows_ok, cd_ok = global_support_masks(
+            dmin, subpix, (window_size - 1) // 2, global_bounds, h8, w8, d8
+        )
+        ok_rdw = rows_ok[:, None, None] & cd_ok.T[None, :, :]  # (H8, D8, W8)
         cost_rdw = jnp.where(ok_rdw, cost_rdw, jnp.asarray(sentinel, cost_rdw.dtype))
         ok_cdh = jnp.transpose(ok_rdw, (2, 1, 0))[: cost_cdh.shape[0], :, : cost_cdh.shape[2]]
         cost_cdh = jnp.where(ok_cdh, cost_cdh, jnp.asarray(sentinel, cost_cdh.dtype))

@@ -431,9 +431,17 @@ def read_raster(path: str, window: Optional[Tuple[int, int, int, int]] = None):
     nodata = None
     band_names = None
     if path.lower().endswith((".tif", ".tiff")):
+        import logging
+        import struct as _struct
+        import zlib as _zlib
+
         try:
             native = _read_tiff_native(path)
-        except Exception:  # corrupt stream/unexpected layout: try PIL
+        except (ValueError, _struct.error, _zlib.error, KeyError, IndexError) as exc:
+            # corrupt stream / unexpected layout: PIL may still read it,
+            # but its tag handling differs (no GDAL nodata/band names) —
+            # surface the fallback rather than silently changing behavior
+            logging.warning("native TIFF reader failed on %s (%s); falling back to PIL", path, exc)
             native = None
         if native is not None:
             arr, tags = native

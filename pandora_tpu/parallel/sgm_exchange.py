@@ -214,11 +214,15 @@ def exchange_tiled_stereo_pipeline(
             measure = "max"
         return cv, measure
 
-    def prep_tile(left_ext, right_ext, w, col0, w_global):
-        """Cost volume + validity on the hm-extended block, cropped to the
-        tile's own columns (mirrors fused.stereo_pipeline's ordering).
+    def prep_tile(left_ext, right_ext, w, ch, col0, w_global):
+        """Cost volume + validity on the halo-extended block, cropped to
+        the tile's own columns (mirrors fused.stereo_pipeline's ordering).
         Criteria bits and cost validity are keyed to the GLOBAL scene
-        bounds so scene-edge tiles match the untiled program."""
+        bounds so scene-edge tiles match the untiled program.
+
+        ``ch`` is the halo ACTUALLY exchanged (clamped to the shard width
+        for tiny dry-run shapes) — the crop offset must match it, not the
+        nominal ``hm``."""
         bounds = (0, col0, left_ext.shape[0], w_global)
         vmask0 = criteria.validity_mask(
             dmin, dmax, offset, window_size,
@@ -229,8 +233,8 @@ def exchange_tiled_stereo_pipeline(
         cv = criteria.mask_cv_global_bounds(cv, dmin, dmax, subpix, offset, bounds)
         vmask0 = criteria.mask_invalid_variable_disparity_range(cv, vmask0)
         vmask0 = criteria.mask_border(vmask0, offset, bounds=bounds)
-        cv = jax.lax.dynamic_slice_in_dim(cv, hm, w, axis=1)
-        vmask0 = jax.lax.dynamic_slice_in_dim(vmask0, hm, w, axis=1)
+        cv = jax.lax.dynamic_slice_in_dim(cv, ch, w, axis=1)
+        vmask0 = jax.lax.dynamic_slice_in_dim(vmask0, ch, w, axis=1)
         work = -cv if measure == "max" else cv
         invalid = jnp.isnan(work)
         work = jnp.where(invalid, _SUPER, work)
@@ -247,7 +251,7 @@ def exchange_tiled_stereo_pipeline(
         col0 = jax.lax.axis_index(axis) * w - ch
         w_global = w * jax.lax.axis_size(axis)
         work, invalid, vmask0 = jax.vmap(
-            partial(prep_tile, w=w, col0=col0, w_global=w_global)
+            partial(prep_tile, w=w, ch=ch, col0=col0, w_global=w_global)
         )(left_ext, right_ext)
 
         # ---- sweep 1: tile-local scans + boundary histories ----------------
@@ -306,12 +310,19 @@ def exchange_tiled_stereo_pipeline(
         if median_size and fm:
             disp_ext = _exchange_halo(disp, fm, -1, axis)
             vm_ext = _exchange_halo(vmask, fm, -1, axis)
-            disp_ext = jax.vmap(
+            filtered = jax.vmap(
                 lambda d, v: median_filter_disparity(
                     d, v, cst.PANDORA_MSK_PIXEL_INVALID, median_size
                 )
-            )(disp_ext, vm_ext)
-            disp = disp_ext[:, :, fm:-fm]
+            )(disp_ext, vm_ext)[:, :, fm:-fm]
+            # the untiled nanmedian keeps INPUT values closer than fm to
+            # the array border (median.py:148-175); restore them on the
+            # scene-edge ring, where the zero-filled halo would otherwise
+            # pollute the window (rows are unsharded: the array's own row
+            # borders coincide with the scene's)
+            gcol = col0 + ch + jnp.arange(w)
+            ring = (gcol < fm) | (gcol >= w_global - fm)
+            disp = jnp.where(ring[None, None, :], disp, filtered)
         elif median_size:
             disp = jax.vmap(
                 lambda d, v: median_filter_disparity(

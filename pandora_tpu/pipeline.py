@@ -202,10 +202,13 @@ class Pipeline:
 
         img_l, img_r = state.left_img, state.right_img
         invalid = plan["invalid"]
+        # NaN hashes by object identity on Python >= 3.10 — normalize it
+        # or every Pipeline instance would miss the cache and recompile
         cfg_key = (
             plan["dmin"], plan["dmax"], plan["subpix"], plan["window_size"],
             plan["p1"], plan["p2"], plan.get("refinement"),
-            plan.get("median_size", 0), invalid,
+            plan.get("median_size", 0),
+            "nan" if np.isnan(invalid) else invalid,
         )
         fn = Pipeline._fused_cache.get(cfg_key)
         if fn is None:

@@ -4,10 +4,10 @@ SGM with boundary reduction").
 Unlike the replication-halo scheme (test_tiling.py), the exchange scheme
 recomputes only an ``influence``-wide scan band per tile edge; census,
 WTA and refinement run on exactly the tile's own pixels.  The equality
-contract is the same: wherever the reference's 40 px influence truncation
-holds (natural images — cones), tiled == untiled BIT-EXACTLY on the
-interior (only the scene-edge halo zone, where zero-filled padding stands
-in for true borders, is excluded)."""
+contract is the same: wherever the reference's influence truncation holds
+(natural images — cones), tiled == untiled BIT-EXACTLY over the FULL
+scene (scene-edge tiles carry the true border criteria via global-bounds
+masking)."""
 
 import jax
 import jax.numpy as jnp
@@ -160,3 +160,33 @@ def test_exchange_single_tile_degenerate():
     _assert_interior_equal(
         disp_t, vmask_t, disp_u, vmask_u, np.s_[:, :, hm : cols - hm]
     )
+
+
+def test_exchange_tiles_narrower_than_cost_halo():
+    """Tiles narrower than the matching-cost halo (win/2 + |disp|) clamp
+    the exchanged halo — the crop offset must follow the CLAMPED width
+    (round-5 review finding: a fixed `hm` offset extracted shifted
+    columns and silently corrupted every tile)."""
+    cfg = dict(
+        dmin=-40, dmax=0, subpix=1, window_size=5, matching_cost="census",
+        p1=8.0, p2=32.0, refinement=None, median_size=0,
+    )
+    rows, cols, n_tile = 32, 64, 2  # tile width 32 < hm = 2 + 40 = 42
+    rng = np.random.default_rng(5)
+    base = rng.random((1, rows, cols + 8), np.float32) * 255
+    left = jnp.asarray(base[:, :, 8:])
+    right = jnp.asarray(
+        0.8 * base[:, :, :-8] + 0.2 * rng.random((1, rows, cols), np.float32) * 255
+    )
+    mesh = make_mesh(n_data=1, n_tile=n_tile)
+    tiled_fn = exchange_tiled_stereo_pipeline(mesh, **cfg)
+    sh = NamedSharding(mesh, P("data", None, "tile"))
+    disp_t, _ = tiled_fn(jax.device_put(left, sh), jax.device_put(right, sh))
+    disp_u, _ = _untiled(left, right, **cfg)
+    dt, du = np.asarray(disp_t), disp_u
+    # with the halo clamped below the disparity reach, only gross
+    # agreement is guaranteed — but a crop-offset bug misaligns EVERY
+    # column, so demand a high agreement rate on the valid pixels
+    both = np.isfinite(dt) & np.isfinite(du)
+    agree = float((np.abs(dt[both] - du[both]) < 1e-6).mean())
+    assert agree > 0.9, f"agreement {agree:.2%}"
