@@ -168,6 +168,17 @@ def compute_interval_bounds(
     return inf_out, sup_out
 
 
+def normalize_with_extremum(
+    amb: jnp.ndarray, global_disparity, nbr_etas: int, subpixel: int = 1
+) -> jnp.ndarray:
+    """Normalize by the scene-GLOBAL disparity extrema instead of the
+    per-tile percentile (ambiguity.normalize_with_extremum,
+    cost_volume_confidence.py:107-139) — the CARS tiled-normalization
+    contract: every tile divides by the same scene-wide constant."""
+    gmin, gmax = global_disparity
+    return amb / ((gmax - gmin) * nbr_etas * subpixel)
+
+
 def normalize_with_percentile(amb: jnp.ndarray, percentile: float = 1.0) -> jnp.ndarray:
     """Clip to [p%, 100−p%] percentiles then min-max normalize
     (ambiguity.normalize_with_percentile, ambiguity.py:177-193)."""

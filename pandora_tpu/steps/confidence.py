@@ -94,11 +94,11 @@ class AmbiguityConfidence(ConfidenceBase):
         if self.cfg["normalization"]:
             gd = img_left.global_disparity or img_right.global_disparity
             if gd is not None:
-                # tiled runs: normalize by the global extrema instead of the
-                # per-tile percentile (normalize_with_extremum,
-                # cost_volume_confidence.py:107-139)
-                max_norm = (gd[1] - gd[0]) * len(etas) * cv.subpixel
-                amb = amb / max_norm
+                # tiled runs: normalize by the global extrema instead of
+                # the per-tile percentile
+                amb = conf_ops.normalize_with_extremum(
+                    amb, gd, len(etas), cv.subpixel
+                )
             elif state.spatial_axes:
                 # sharded program without a global_disparity attr: the
                 # percentile itself becomes a cross-tile collective so every
