@@ -150,7 +150,8 @@ def _sub_argmin(l, d_pad):
     return jnp.min(jnp.where(l == m, iota, d_pad), axis=0, keepdims=True)
 
 
-def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt, *refs):
+def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt,
+                 exchange, *refs):
     """Grid step: advance ``len(shifts)`` directions _BLOCK lines.
 
     Layout (line, disp, cross): cost_n/cost_f are (B, D, X); carry is
@@ -161,7 +162,15 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt, 
     (255.0 for uint8).  f32 super-cost sentinels absorb the incoming
     message automatically (1e12 + msg == 1e12 in f32), giving a clean
     path restart after an invalid run; a small sentinel needs the
-    explicit select so masked zones can't leak messages across."""
+    explicit select so masked zones can't leak messages across.
+
+    ``exchange``: static (has_init, want_final, edge_cols, inj_lanes) —
+    the tiled boundary-state hooks (parallel/sgm_exchange.py): seed the
+    carry from a neighbor tile instead of the restart sentinel, emit the
+    final carry, emit per-line per-channel L at static edge columns, and
+    overwrite injected lanes after each line so the lane shifts read
+    cross-tile state."""
+    has_init, want_final, edge_cols, inj_lanes = exchange
     n_ch = len(shifts)
     half = n_ch // 2
     it = iter(refs)
@@ -170,17 +179,26 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt, 
     p1_ref = next(it) if p1_mode != _P_SCALAR else None
     p2_ref = next(it) if p2_mode != _P_SCALAR else None
     seg_ref = next(it) if has_seg else None
+    init_ref = next(it) if has_init else None
+    inj_n_ref = next(it) if inj_lanes else None
+    inj_f_ref = next(it) if inj_lanes else None
     out_n_ref = next(it)
     out_f_ref = next(it)
     amin_n_ref = next(it) if track else None
     amin_f_ref = next(it) if track else None
+    edges_n_ref = next(it) if edge_cols else None
+    edges_f_ref = next(it) if edge_cols else None
+    final_ref = next(it) if want_final else None
     carry_ref = next(it)
     segc_ref = next(it) if has_seg else None
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
-        carry_ref[...] = jnp.full_like(carry_ref, _big_for(carry_ref.dtype))
+        if init_ref is not None:
+            carry_ref[...] = init_ref[...].astype(carry_ref.dtype)
+        else:
+            carry_ref[...] = jnp.full_like(carry_ref, _big_for(carry_ref.dtype))
         if segc_ref is not None:
             segc_ref[...] = jnp.full_like(segc_ref, -1)
 
@@ -228,7 +246,27 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt, 
             l_new.append(l)
             if track:
                 (am_n if grp == 0 else am_f).append(_sub_argmin(l, d_pad))
-        prev = l_new
+        if edge_cols:
+            # emit per-channel L at the static edge columns BEFORE any
+            # injection (the tile's own sweep-1 history)
+            for i, c in enumerate(edge_cols):
+                for ch in range(half):
+                    edges_n_ref[j, ch, i] = l_new[ch][:, c]
+                    edges_f_ref[b - 1 - j, ch, i] = l_new[half + ch][:, c]
+        carry_new = list(l_new)
+        if inj_lanes:
+            # injection feeds the NEXT line's shifts only — the emitted
+            # partial sums stay the tile's own values (lax parity)
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, l_new[0].shape, 1)
+            for i, lane in enumerate(inj_lanes):
+                for ch in range(n_ch):
+                    ref = inj_n_ref if ch < half else inj_f_ref
+                    jj = j if ch < half else b - 1 - j
+                    val = ref[jj, i, ch % half].astype(cdt)
+                    carry_new[ch] = jnp.where(
+                        lane_iota == lane, val[:, None], carry_new[ch]
+                    )
+        prev = carry_new
         if has_seg:
             prev_seg = [seg_n, seg_f]
         # cast on write: callers may request bf16 partials (exact when every
@@ -249,6 +287,13 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt, 
     if has_seg:
         for grp in range(2):
             segc_ref[grp] = prev_seg[grp]
+    if want_final:
+        # the outgoing boundary state: the carry after the tile's last
+        # line (sent to the mesh neighbor by parallel/sgm_exchange.py)
+        @pl.when(g == pl.num_programs(0) - 1)
+        def _():
+            for ch in range(n_ch):
+                final_ref[ch] = prev[ch].astype(final_ref.dtype)
 
 
 def _pad_nd(a: jnp.ndarray, target: Tuple[int, ...], value) -> jnp.ndarray:
@@ -290,7 +335,17 @@ def _run_pass(
     absorb: Optional[float] = None,
     block: int = _BLOCK,
     compute_dtype=jnp.float32,
+    init_carry: Optional[jnp.ndarray] = None,  # (n_ch, D8, X8)
+    want_final: bool = False,
+    edge_cols: Tuple[int, ...] = (),
+    inj_lanes: Tuple[int, ...] = (),
+    inj: Optional[jnp.ndarray] = None,  # (L8, k, n_ch, D8) physical-line order
 ):
+    """The boundary-state-exchange hooks (``init_carry`` / ``want_final`` /
+    ``edge_cols`` / ``inj_lanes``+``inj``) mirror the lax scans'
+    (ops/sgm.py::_row_scan/_col_scan) — parallel/sgm_exchange.py's tiled
+    SGM on the Pallas backend; pinned pallas == lax by
+    tests/test_sgm_pallas.py::test_exchange_hooks_*."""
     l8, d8, x8 = cost_ldx.shape
     b = block if l8 % block == 0 else _BLOCK
     gl = l8 // b
@@ -333,6 +388,26 @@ def _run_pass(
         in_specs.append(
             pl.BlockSpec((b, 2, x8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
         )
+    full_spec = pl.BlockSpec(
+        (n_ch, d8, x8), lambda g: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    if init_carry is not None:
+        args.append(init_carry)
+        in_specs.append(full_spec)
+    if inj_lanes:
+        k = len(inj_lanes)
+        inj_n = inj[:, :, :half]  # (L8, k, half, D8)
+        # NO pre-flip: the flipped half's f-spec block map + [b-1-j]
+        # indexing already resolves to the physical line being processed
+        inj_f = inj[:, :, half:]
+        args += [inj_n, inj_f]
+        inj_n_spec = pl.BlockSpec(
+            (b, k, half, d8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        inj_f_spec = pl.BlockSpec(
+            (b, k, half, d8), lambda g: (gl - 1 - g, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [inj_n_spec, inj_f_spec]
 
     vol_sds = jax.ShapeDtypeStruct((l8, d8, x8), out_dtype)
     out_specs = [n_spec, f_spec]
@@ -344,6 +419,20 @@ def _run_pass(
         )
         out_specs += [am_n_spec, am_f_spec]
         out_shape += [jax.ShapeDtypeStruct((l8, half, x8), jnp.int32)] * 2
+    if edge_cols:
+        ke = len(edge_cols)
+        e_sds = jax.ShapeDtypeStruct((l8, half, ke, d8), jnp.float32)
+        e_n_spec = pl.BlockSpec(
+            (b, half, ke, d8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        e_f_spec = pl.BlockSpec(
+            (b, half, ke, d8), lambda g: (gl - 1 - g, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_specs += [e_n_spec, e_f_spec]
+        out_shape += [e_sds, e_sds]
+    if want_final:
+        out_specs.append(full_spec)
+        out_shape.append(jax.ShapeDtypeStruct((n_ch, d8, x8), jnp.float32))
     # the bf16/int16 compute dtypes are only wired for the scalar-penalty,
     # segment-free instantiation (the layouts fast path); penalty planes
     # are f32 and would silently promote the recurrence back to f32
@@ -360,8 +449,12 @@ def _run_pass(
     if has_seg:
         scratch.append(pltpu.VMEM((2, x8), jnp.int32))
 
+    exchange = (init_carry is not None, want_final, tuple(edge_cols), tuple(inj_lanes))
     outs = pl.pallas_call(
-        partial(_scan_kernel, p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt),
+        partial(
+            _scan_kernel, p1, p2, p1_mode, p2_mode, has_seg, track, shifts,
+            absorb, cdt, exchange,
+        ),
         grid=(gl,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -370,9 +463,18 @@ def _run_pass(
         compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(*args)
-    part_n, part_f = outs[0], outs[1]
-    amins = jnp.concatenate([outs[2], outs[3]], axis=1) if track else None
-    return part_n, part_f, amins
+    it = iter(outs)
+    part_n, part_f = next(it), next(it)
+    amins = jnp.concatenate([next(it), next(it)], axis=1) if track else None
+    extras = {}
+    if edge_cols:
+        e_n, e_f = next(it), next(it)
+        # both halves land in physical-line order (the flipped half's
+        # f-spec + [b-1-j] store already un-flips)
+        extras["edges"] = jnp.concatenate([e_n, e_f], axis=1)  # (L8, n_ch, k, D8)
+    if want_final:
+        extras["final"] = next(it)
+    return part_n, part_f, amins, extras
 
 
 def sgm_partials_pallas(
@@ -435,7 +537,7 @@ def sgm_partials_pallas(
         seg_pad = _pad_nd(segments.astype(jnp.int32), (h8, w8), -2)
 
     # ---- row pass: 6 channels on (row, disp, col) -------------------------
-    row_n, row_f, amins_row = _run_pass(
+    row_n, row_f, amins_row, _ = _run_pass(
         cost_rdw,
         (0, 1, -1, 0, 1, -1),
         [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)],
@@ -450,7 +552,7 @@ def sgm_partials_pallas(
     )
 
     # ---- col pass: 2 channels on the transposed (col, disp, row) ----------
-    col_n, col_f, amins_col = _run_pass(
+    col_n, col_f, amins_col, _ = _run_pass(
         cost_cdh,
         (0, 0),
         [(6, False), (7, True)],
@@ -490,12 +592,12 @@ def sgm_partials_from_layouts(
     # uint8 sentinels (255) are too small to absorb messages by f32
     # rounding — request the explicit restart select in the kernel
     absorb = 255.0 if cost_rdw.dtype == jnp.uint8 else None
-    row_n, row_f, _ = _run_pass(
+    row_n, row_f, _, _ = _run_pass(
         cost_rdw, (0, 1, -1, 0, 1, -1), flips_row, p1, p2,
         None, None, None, False, out_dtype, interpret, absorb, block,
         compute_dtype,
     )
-    col_n, col_f, _ = _run_pass(
+    col_n, col_f, _, _ = _run_pass(
         cost_cdh, (0, 0), [(6, False), (7, True)], p1, p2,
         None, None, None, False, out_dtype, interpret, absorb, block,
         compute_dtype,

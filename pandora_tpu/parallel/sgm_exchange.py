@@ -42,10 +42,15 @@ dominate and influence travel arbitrarily far, breaking ANY fixed margin
 (replication halos included).
 
 This build ships the 1-D column-mesh instantiation on the lax-scan
-backend (the fused uint8 Pallas kernels keep the replication halo; their
-carry/injection hooks are the same design, wired when a multi-chip TPU
-target exists to measure on).  Reference contract: marge.py:85-106,
-optimization.py:43.
+backend.  The Pallas scan kernels implement the SAME hooks
+(``ops/sgm_pallas._run_pass``: ``init_carry`` / ``want_final`` /
+``edge_cols`` / ``inj_lanes``) — pinned bit-equal to the lax hooks in
+interpret mode (tests/test_sgm_pallas.py::test_exchange_hooks_*) and
+compile-gated on real TPU
+(tests/test_tpu_hw.py::test_exchange_hooks_compile_and_match_lax) — so
+wiring this orchestration onto the uint8 kernel path on a multi-chip TPU
+slice is a drop-in swap of the scan calls.  Reference contract:
+marge.py:85-106, optimization.py:43.
 """
 
 from __future__ import annotations

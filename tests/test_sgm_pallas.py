@@ -358,3 +358,102 @@ def test_int16_compute_rejects_float_penalties():
             rdw, cdh, hwd, 1.5, 32.0, out_dtype=jnp.uint8, interpret=True,
             compute_dtype=jnp.int16,
         )
+
+
+def _pad_big(a, shape):
+    import numpy as np
+
+    from pandora_tpu.ops.sgm_pallas import _BIG
+
+    out = np.full(shape, _BIG, np.float32)
+    out[tuple(slice(0, s) for s in a.shape)] = a
+    return jnp.asarray(out)
+
+
+def test_exchange_hooks_row_pass_matches_lax():
+    """Pallas _run_pass edge-history emission + lane injection == the lax
+    _row_scan hooks (the tiled boundary-state exchange backend parity)."""
+    import numpy as np
+
+    from pandora_tpu.ops import sgm as sgm_ops
+    from pandora_tpu.ops.sgm_pallas import _run_pass
+
+    rng = np.random.default_rng(0)
+    h, w, d = 24, 128, 16
+    cost = (rng.integers(0, 25, (h, w, d))).astype(np.float32)
+    p1, p2 = 8.0, 32.0
+    edge_cols = (0, 40, w - 41, w - 1)
+    inj_lanes = (0, w - 1)
+    inj = (rng.integers(0, 60, (h, len(inj_lanes), 6, d))).astype(np.float32)
+
+    # ---- lax reference ----------------------------------------------------
+    pen = (jnp.full((6, 1, 1), p1), jnp.full((6, 1, 1), p2))
+    inj_lax = np.concatenate([inj[:, :, :3], inj[::-1, :, 3:]], axis=2)
+    ys = sgm_ops._row_scan(
+        jnp.stack([jnp.asarray(cost), jnp.asarray(cost)[::-1]]), pen, None,
+        None, d, False, edge_cols=edge_cols, inj_lanes=inj_lanes,
+        inj=jnp.asarray(inj_lax),
+    )
+    lax_norm = np.asarray(ys["norm"])  # (H, W, D)
+    lax_flip = np.asarray(ys["flip"][::-1])
+    lax_edges = np.asarray(
+        jnp.concatenate([ys["edges"][:, :3], ys["edges"][::-1, 3:]], axis=1)
+    )  # (H, 6, k, D) physical rows
+
+    # ---- pallas -----------------------------------------------------------
+    cost_rdw = _pad_big(np.moveaxis(cost, -1, 1), (h, d, w))  # exact sizes
+    pn, pf, _, extras = _run_pass(
+        cost_rdw, (0, 1, -1, 0, 1, -1),
+        [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)],
+        p1, p2, None, None, None, False, jnp.float32, True,
+        edge_cols=edge_cols, inj_lanes=inj_lanes,
+        inj=jnp.asarray(np.ascontiguousarray(inj)),
+    )
+    np.testing.assert_array_equal(np.moveaxis(np.asarray(pn), 1, -1), lax_norm)
+    # out_f is stored at physical line positions (f-spec + [b-1-j])
+    np.testing.assert_array_equal(np.moveaxis(np.asarray(pf), 1, -1), lax_flip)
+    np.testing.assert_array_equal(np.asarray(extras["edges"]), lax_edges)
+
+
+def test_exchange_hooks_col_pass_init_final_match_lax():
+    """Pallas init-carry seeding and final-carry emission == the lax
+    _col_scan equivalents."""
+    import numpy as np
+
+    from pandora_tpu.ops import sgm as sgm_ops
+    from pandora_tpu.ops.sgm_pallas import _run_pass
+
+    rng = np.random.default_rng(1)
+    h, w, d = 16, 32, 16  # W is the line axis of the col pass (mult of 8)
+    cost = (rng.integers(0, 25, (h, w, d))).astype(np.float32)
+    p1, p2 = 8.0, 32.0
+    init = (rng.integers(0, 50, (2, h, d))).astype(np.float32)
+
+    pen = (jnp.full((2, 1, 1), p1), jnp.full((2, 1, 1), p2))
+    ys = sgm_ops._col_scan(
+        jnp.stack([jnp.asarray(cost), jnp.asarray(cost)[:, ::-1]]), pen, None,
+        None, d, False, init_l=jnp.asarray(init),
+    )
+    lax_norm = np.asarray(ys["norm"])  # (W, H, D) scan order
+    lax_flip = np.asarray(ys["flip"])
+
+    # pallas: (W, D, H) lines over columns, lanes = rows (pad H -> 128)
+    h8 = 128
+    cost_cdh = _pad_big(np.moveaxis(cost, -1, 1).transpose(2, 1, 0), (w, d, h8))
+    init_p = _pad_big(np.moveaxis(init, -1, 1), (2, d, h8))
+    pn, pf, _, extras = _run_pass(
+        cost_cdh, (0, 0), [(6, False), (7, True)], p1, p2,
+        None, None, None, False, jnp.float32, True,
+        init_carry=init_p, want_final=True,
+    )
+    got_norm = np.moveaxis(np.asarray(pn)[:, :, :h], 1, -1)  # (W, H, D)
+    got_flip = np.moveaxis(np.asarray(pf)[:, :, :h], 1, -1)[::-1]
+    np.testing.assert_array_equal(got_norm, lax_norm)
+    np.testing.assert_array_equal(got_flip, lax_flip)
+    final = np.asarray(extras["final"])[:, :, :h]  # (2, D, H)
+    np.testing.assert_array_equal(
+        np.moveaxis(final[0], 0, -1), lax_norm[-1]
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(final[1], 0, -1), lax_flip[-1]
+    )

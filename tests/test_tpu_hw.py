@@ -153,3 +153,43 @@ def test_uint8_scan_layouts_compiled_equal_f32(cones):
     np.testing.assert_array_equal(
         np.nan_to_num(np.asarray(d1), nan=-1e9), np.nan_to_num(np.asarray(d2), nan=-1e9)
     )
+
+
+@requires_tpu
+def test_exchange_hooks_compile_and_match_lax():
+    """The boundary-state-exchange kernel hooks (init carry, final carry,
+    edge histories, lane injection) COMPILE on real TPU and match the lax
+    scans bit-exactly (interpret-mode parity is pinned by
+    test_sgm_pallas.py; this gates the Mosaic lowering)."""
+    import jax.numpy as jnp
+
+    from pandora_tpu.ops import sgm as sgm_ops
+    from pandora_tpu.ops.sgm_pallas import _run_pass
+
+    rng = np.random.default_rng(3)
+    h, w, d = 16, 128, 16
+    cost = (rng.integers(0, 25, (h, w, d))).astype(np.float32)
+    inj = (rng.integers(0, 60, (h, 2, 6, d))).astype(np.float32)
+    pen = (jnp.full((6, 1, 1), 8.0), jnp.full((6, 1, 1), 32.0))
+    inj_lax = np.concatenate([inj[:, :, :3], inj[::-1, :, 3:]], axis=2)
+    ys = sgm_ops._row_scan(
+        jnp.stack([jnp.asarray(cost), jnp.asarray(cost)[::-1]]), pen, None,
+        None, d, False, edge_cols=(0, w - 1), inj_lanes=(0, w - 1),
+        inj=jnp.asarray(inj_lax),
+    )
+    pn, pf, _, extras = _run_pass(
+        jnp.asarray(np.moveaxis(cost, -1, 1)), (0, 1, -1, 0, 1, -1),
+        [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)],
+        8.0, 32.0, None, None, None, False, jnp.float32, False,
+        edge_cols=(0, w - 1), inj_lanes=(0, w - 1), inj=jnp.asarray(inj),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(pn), 1, -1), np.asarray(ys["norm"])
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(pf), 1, -1), np.asarray(ys["flip"][::-1])
+    )
+    lax_edges = np.asarray(
+        jnp.concatenate([ys["edges"][:, :3], ys["edges"][::-1, 3:]], axis=1)
+    )
+    np.testing.assert_array_equal(np.asarray(extras["edges"]), lax_edges)
