@@ -249,3 +249,104 @@ def test_compute_cbca_with_offset():
     ]
     gt = np.array([nanrow, mid, mid, nanrow])
     np.testing.assert_allclose(got, gt, rtol=1e-7)
+
+
+def test_cross_support_subpixel_shifted_right():
+    """reference test_aggregation.py:668-810: the HALF-PIXEL shifted right
+    image's cross supports (the cross used by fractional disparities),
+    without and with input masks — the reference's hand-computed arms."""
+    from pandora_tpu.ops.filters import nanmedian_window
+    from pandora_tpu.ops.shift import shift_subpix
+
+    right = np.array(
+        [[1, 5, 1, 15, 7], [2, 10, 9, 11, 9], [3, 1, 18, 4, 5]], np.float32
+    )
+
+    def masked_median_inf(im, invalid):
+        m = jnp.where(invalid, jnp.nan, im) if invalid is not None else im
+        med = jnp.where(jnp.isnan(m), jnp.nan, nanmedian_window(m, 3))
+        return jnp.where(jnp.isnan(med), jnp.inf, med)
+
+    # ---- no masks, intensity 5 -------------------------------------------
+    shifted = shift_subpix(jnp.asarray(right), 2)[1]  # (3, 4) half-pixel
+    csr = np.asarray(cross_support(masked_median_inf(shifted, None), 3, 5.0))
+    np.testing.assert_array_equal(
+        csr[:, :, 0], np.array([[0, 1, 1, 1], [0, 1, 2, 2], [0, 1, 1, 1]])
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 1], np.array([[1, 1, 1, 0], [2, 2, 1, 0], [1, 1, 1, 0]])
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 2], np.array([[0, 0, 0, 0], [1, 1, 1, 1], [2, 1, 2, 1]])
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 3], np.array([[2, 1, 2, 1], [1, 1, 1, 1], [0, 0, 0, 0]])
+    )
+
+    # ---- with an input mask, intensity 6 ---------------------------------
+    # raw user mask valid=0/nodata=1; 2-column OR for the shifted plane
+    rmsk = np.array([[2, 0, 0, 0, 0], [0, 0, 0, 1, 0], [0, 3, 0, 0, 0]])
+    inv = rmsk != 0
+    inv_shift = inv[:, :-1] | inv[:, 1:]
+    csr = np.asarray(
+        cross_support(masked_median_inf(shifted, jnp.asarray(inv_shift)), 3, 6.0)
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 0], np.array([[0, 0, 1, 1], [0, 1, 0, 0], [0, 0, 0, 1]])
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 1], np.array([[0, 1, 1, 0], [1, 0, 0, 0], [0, 0, 1, 0]])
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 2], np.array([[0, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 0]])
+    )
+    np.testing.assert_array_equal(
+        csr[:, :, 3], np.array([[0, 1, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]])
+    )
+
+
+def test_cross_support_with_offset_window3():
+    """reference test_aggregation.py:810-900: window_size 3 crops the
+    cross-support grid to the cost-volume interior (offset_row_col) for
+    BOTH images; subpix 1 keeps a single right cross."""
+    from pandora_tpu.ops.filters import nanmedian_window
+
+    left4 = np.array(
+        [[5, 1, 15, 7, 3], [10, 9, 11, 9, 6], [1, 18, 4, 5, 9], [5, 1, 15, 7, 3]],
+        np.float32,
+    )
+    right4 = np.array(
+        [[1, 5, 1, 15, 7], [2, 10, 9, 11, 9], [3, 1, 18, 4, 5], [1, 5, 1, 15, 7]],
+        np.float32,
+    )
+
+    def med_inf(im):
+        med = nanmedian_window(jnp.asarray(im), 3)
+        return jnp.where(jnp.isnan(med), jnp.inf, med)
+
+    def interior(a):
+        return a[1:-1, 1:-1]
+
+    cs_left = np.asarray(cross_support(interior(med_inf(left4)), 3, 5.0))
+    gt_left = np.stack(
+        (
+            np.array([[0, 1, 2], [0, 1, 2]]),  # left arm
+            np.array([[2, 1, 0], [2, 1, 0]]),  # right arm
+            np.array([[0, 0, 0], [1, 1, 1]]),  # top arm
+            np.array([[1, 1, 1], [0, 0, 0]]),  # bottom arm
+        ),
+        axis=-1,
+    )
+    np.testing.assert_array_equal(cs_left, gt_left)
+
+    cs_right = np.asarray(cross_support(interior(med_inf(right4)), 3, 5.0))
+    gt_right = np.stack(
+        (
+            np.array([[0, 1, 1], [0, 1, 1]]),
+            np.array([[1, 1, 0], [1, 1, 0]]),
+            np.array([[0, 0, 0], [1, 1, 1]]),
+            np.array([[1, 1, 1], [0, 0, 0]]),
+        ),
+        axis=-1,
+    )
+    np.testing.assert_array_equal(cs_right, gt_right)
