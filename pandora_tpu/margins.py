@@ -141,3 +141,52 @@ class GlobalMargins:
         if step in self._cumulative:
             return self._cumulative[step]
         return self._non_cumulative.get(step)
+
+
+def get_margins(disp_min: int, disp_max: int, cfg) -> dict:
+    """CARS tiling entry point: image read margins for a pipeline config
+    (reference pandora.marge.get_margins, marge.py:32-118).
+
+    Starts from the disparity reach ``[disp_max, 0, -disp_min, 0]`` (and
+    its mirror for the right image), adds the matching-cost half window,
+    the vfit column reach (±1) and the median half filter, then takes the
+    element-wise max with the SGM/3SGM 40 px truncated-influence margins;
+    left and right get the same (larger) margin.
+
+    :return: ``{"left_margin": [left, up, right, down],
+        "right_margin": [...], "disp_min": ..., "disp_max": ...}``
+        (plain lists instead of the reference's xarray Dataset).
+    """
+    r_marg = [disp_max, 0, -disp_min, 0]
+    s_marg = [-disp_min, 0, disp_max, 0]
+
+    window_size = cfg["matching_cost"]["window_size"]
+    if window_size != 1:
+        half = int(window_size / 2)
+        r_marg = [m + half for m in r_marg]
+        s_marg = [m + half for m in s_marg]
+
+    if cfg.get("refinement", {}).get("refinement_method") == "vfit":
+        for marg in (r_marg, s_marg):
+            marg[0] += 1
+            marg[2] += 1
+
+    if cfg.get("filter", {}).get("filter_method") == "median":
+        half = int(cfg["filter"]["filter_size"] / 2)
+        r_marg = [m + half for m in r_marg]
+        s_marg = [m + half for m in s_marg]
+
+    if cfg.get("optimization", {}).get("optimization_method") in ("sgm", "3sgm"):
+        sgm = SGM_MARGINS.left
+        r_opt = [sgm + disp_max, sgm, sgm - disp_min, sgm]
+        s_opt = [sgm - disp_min, sgm, sgm + disp_max, sgm]
+        r_marg = [max(a, b) for a, b in zip(r_marg, r_opt)]
+        s_marg = [max(a, b) for a, b in zip(s_marg, s_opt)]
+
+    same = [max(a, b) for a, b in zip(r_marg, s_marg)]
+    return {
+        "left_margin": same,
+        "right_margin": list(same),
+        "disp_min": disp_min,
+        "disp_max": disp_max,
+    }

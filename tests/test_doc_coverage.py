@@ -103,7 +103,7 @@ def test_api_reference_covers_public_surface():
         "make_image", "Margins", "stereo_pipeline", "make_jitted_pipeline",
         "make_mesh", "make_mesh2d", "tiled_stereo_pipeline",
         "exchange_tiled_stereo_pipeline", "tiled_modular_pipeline",
-        "halo_width", "SceneRunner", "read_raster", "write_geotiff",
+        "halo_width", "SceneRunner", "get_margins", "read_raster", "write_geotiff",
         "read_raster_header", "read_image_input", "get_window",
         "Profiler.enable_from_config", "generate_summary", "profile",
     ):

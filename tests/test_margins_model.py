@@ -72,3 +72,61 @@ def test_global_margins_to_dict():
 def test_max_margins():
     a, b = Margins(1, 5, 2, 0), Margins(3, 1, 2, 4)
     assert a.max(b) == Margins(3, 5, 2, 4)
+
+
+# ---------------------------------------------------------------------------
+# CARS get_margins entry point (reference tests/test_marge.py)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from pandora_tpu.margins import get_margins
+
+_VALID_FILTER = {
+    "refinement": {"refinement_method": "vfit"},
+    "filter": {"filter_method": "median", "filter_size": 3},
+    "validation": {"validation_method": "cross_checking_accurate", "cross_checking_threshold": 1},
+}
+
+
+@pytest.mark.parametrize("method", ["sgm", "3sgm"])
+@pytest.mark.parametrize(
+    "disp,expected",
+    [
+        ((-13, 14), [54, 40, 54, 40]),
+        ((3, 14), [54, 40, 54, 40]),
+        ((-13, -2), [53, 40, 53, 40]),
+    ],
+)
+def test_get_margins_sgm(method, disp, expected):
+    """reference test_marge.py:47-110 (sgm and 3sgm give the same)."""
+    cfg = {
+        "matching_cost": {"matching_cost_method": "census", "window_size": 5},
+        "optimization": {"optimization_method": method},
+        **_VALID_FILTER,
+    }
+    res = get_margins(disp[0], disp[1], cfg)
+    assert res["left_margin"] == expected
+    assert res["right_margin"] == expected
+    assert (res["disp_min"], res["disp_max"]) == disp
+
+
+@pytest.mark.parametrize(
+    "mc,filter_size,disp,expected",
+    [
+        (("census", 3), 3, (-13, 14), [17, 2, 17, 2]),
+        (("sad", 9), 3, (3, 14), [20, 5, 20, 5]),
+        (("sad", 1), 5, (-13, -2), [16, 2, 16, 2]),
+    ],
+)
+def test_get_margins_without_sgm(mc, filter_size, disp, expected):
+    """reference test_marge.py:111-158."""
+    cfg = {
+        "matching_cost": {"matching_cost_method": mc[0], "window_size": mc[1]},
+        "refinement": {"refinement_method": "vfit"},
+        "filter": {"filter_method": "median", "filter_size": filter_size},
+        "validation": {"validation_method": "cross_checking_accurate", "cross_checking_threshold": 1},
+    }
+    res = get_margins(disp[0], disp[1], cfg)
+    assert res["left_margin"] == expected
+    assert res["right_margin"] == expected
