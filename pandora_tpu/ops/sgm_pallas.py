@@ -193,10 +193,18 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt,
     segc_ref = next(it) if has_seg else None
     g = pl.program_id(0)
 
+    def _sanitize(v):
+        """Non-finite boundary state (the mesh-edge inf fill of
+        parallel/sgm_exchange.py) → the restart sentinel, matching the lax
+        scans' jnp.isfinite guard (ops/sgm.py:108,156); cast-safe for the
+        int16 compute path."""
+        v = jnp.where(jnp.isfinite(v), v, jnp.float32(_big_for(cdt)))
+        return v.astype(cdt)
+
     @pl.when(g == 0)
     def _():
         if init_ref is not None:
-            carry_ref[...] = init_ref[...].astype(carry_ref.dtype)
+            carry_ref[...] = _sanitize(init_ref[...]).astype(carry_ref.dtype)
         else:
             carry_ref[...] = jnp.full_like(carry_ref, _big_for(carry_ref.dtype))
         if segc_ref is not None:
@@ -251,8 +259,8 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt,
             # injection (the tile's own sweep-1 history)
             for i, c in enumerate(edge_cols):
                 for ch in range(half):
-                    edges_n_ref[j, ch, i] = l_new[ch][:, c]
-                    edges_f_ref[b - 1 - j, ch, i] = l_new[half + ch][:, c]
+                    edges_n_ref[j, ch, i] = l_new[ch][:, c].astype(jnp.float32)
+                    edges_f_ref[b - 1 - j, ch, i] = l_new[half + ch][:, c].astype(jnp.float32)
         carry_new = list(l_new)
         if inj_lanes:
             # injection feeds the NEXT line's shifts only — the emitted
@@ -262,7 +270,7 @@ def _scan_kernel(p1, p2, p1_mode, p2_mode, has_seg, track, shifts, absorb, cdt,
                 for ch in range(n_ch):
                     ref = inj_n_ref if ch < half else inj_f_ref
                     jj = j if ch < half else b - 1 - j
-                    val = ref[jj, i, ch % half].astype(cdt)
+                    val = _sanitize(ref[jj, i, ch % half])
                     carry_new[ch] = jnp.where(
                         lane_iota == lane, val[:, None], carry_new[ch]
                     )

@@ -457,3 +457,80 @@ def test_exchange_hooks_col_pass_init_final_match_lax():
     np.testing.assert_array_equal(
         np.moveaxis(final[1], 0, -1), lax_flip[-1]
     )
+
+
+def test_exchange_hooks_scene_edge_inf_restart():
+    """Non-finite boundary state (the mesh-edge inf fill of
+    parallel/sgm_exchange.py) must reproduce the lax scans' clean path
+    restart — no NaN leakage (round-5 review finding)."""
+    import numpy as np
+
+    from pandora_tpu.ops import sgm as sgm_ops
+    from pandora_tpu.ops.sgm_pallas import _run_pass
+
+    rng = np.random.default_rng(7)
+    h, w, d = 16, 128, 16
+    cost = (rng.integers(0, 25, (h, w, d))).astype(np.float32)
+    inf_inj = np.full((h, 2, 6, d), np.inf, np.float32)
+    pen = (jnp.full((6, 1, 1), 8.0), jnp.full((6, 1, 1), 32.0))
+    ys = sgm_ops._row_scan(
+        jnp.stack([jnp.asarray(cost), jnp.asarray(cost)[::-1]]), pen, None,
+        None, d, False, inj_lanes=(0, w - 1), inj=jnp.asarray(inf_inj),
+    )
+    pn, pf, _, _ = _run_pass(
+        jnp.asarray(np.moveaxis(cost, -1, 1)), (0, 1, -1, 0, 1, -1),
+        [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)],
+        8.0, 32.0, None, None, None, False, jnp.float32, True,
+        inj_lanes=(0, w - 1), inj=jnp.asarray(inf_inj),
+    )
+    gn = np.moveaxis(np.asarray(pn), 1, -1)
+    assert np.isfinite(gn).all(), "inf injection leaked NaN into partials"
+    np.testing.assert_array_equal(gn, np.asarray(ys["norm"]))
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(pf), 1, -1), np.asarray(ys["flip"][::-1])
+    )
+
+    # inf INITIAL carry on the col pass == lax restart too
+    cost2 = (rng.integers(0, 25, (16, 16, d))).astype(np.float32)
+    pen2 = (jnp.full((2, 1, 1), 8.0), jnp.full((2, 1, 1), 32.0))
+    ys2 = sgm_ops._col_scan(
+        jnp.stack([jnp.asarray(cost2), jnp.asarray(cost2)[:, ::-1]]), pen2,
+        None, None, d, False,
+        init_l=jnp.full((2, 16, d), jnp.inf),
+    )
+    cdh = _pad_big(np.moveaxis(cost2, -1, 1).transpose(2, 1, 0), (16, d, 128))
+    pn2, pf2, _, _ = _run_pass(
+        cdh, (0, 0), [(6, False), (7, True)], 8.0, 32.0,
+        None, None, None, False, jnp.float32, True,
+        init_carry=jnp.full((2, d, 128), jnp.inf),
+    )
+    got = np.moveaxis(np.asarray(pn2)[:, :, :16], 1, -1)
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got, np.asarray(ys2["norm"]))
+
+
+def test_exchange_hooks_u8_int16_path_usable():
+    """The hooks must not reject the uint8-volume compute paths the
+    exchange orchestration would ride on TPU (edges stored as f32
+    regardless of the compute dtype)."""
+    import numpy as np
+
+    from pandora_tpu.ops.census import census_cost_volume_scan_layouts
+    from pandora_tpu.ops.sgm_pallas import _run_pass
+
+    rng = np.random.default_rng(2)
+    h, w, d = 16, 128, 16
+    left = jnp.asarray(rng.random((h, w), np.float32) * 255)
+    right = jnp.asarray(rng.random((h, w), np.float32) * 255)
+    rdw, _, _ = census_cost_volume_scan_layouts(
+        left, right, -(d - 1), 0, 1, 5, jnp.uint8, interpret=True
+    )
+    for cdt in (jnp.float32, jnp.int16):
+        pn, _, _, extras = _run_pass(
+            rdw[:h, :, :w], (0, 1, -1, 0, 1, -1),
+            [(0, False), (1, False), (2, False), (3, True), (4, True), (5, True)],
+            8.0, 32.0, None, None, None, False, jnp.uint8, True,
+            absorb=255.0, compute_dtype=cdt, edge_cols=(0, w - 1),
+        )
+        assert extras["edges"].dtype == jnp.float32
+        assert pn.dtype == jnp.uint8

@@ -193,3 +193,34 @@ def test_exchange_hooks_compile_and_match_lax():
         jnp.concatenate([ys["edges"][:, :3], ys["edges"][::-1, 3:]], axis=1)
     )
     np.testing.assert_array_equal(np.asarray(extras["edges"]), lax_edges)
+
+    # init-carry seeding + final-carry emission (col pass) compile too
+    h2, w2 = 16, 32
+    cost2 = (rng.integers(0, 25, (h2, w2, d))).astype(np.float32)
+    init = (rng.integers(0, 50, (2, h2, d))).astype(np.float32)
+    pen2 = (jnp.full((2, 1, 1), 8.0), jnp.full((2, 1, 1), 32.0))
+    ys2 = sgm_ops._col_scan(
+        jnp.stack([jnp.asarray(cost2), jnp.asarray(cost2)[:, ::-1]]), pen2,
+        None, None, d, False, init_l=jnp.asarray(init),
+    )
+    big = 1.0e30
+    cdh = np.full((w2, d, 128), big, np.float32)
+    cdh[:, :, :h2] = np.moveaxis(cost2, -1, 1).transpose(2, 1, 0)
+    init_p = np.full((2, d, 128), big, np.float32)
+    init_p[:, :, :h2] = np.moveaxis(init, -1, 1)
+    pn2, pf2, _, ex2 = _run_pass(
+        jnp.asarray(cdh), (0, 0), [(6, False), (7, True)], 8.0, 32.0,
+        None, None, None, False, jnp.float32, False,
+        init_carry=jnp.asarray(init_p), want_final=True,
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(pn2)[:, :, :h2], 1, -1), np.asarray(ys2["norm"])
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(ex2["final"])[0, :, :h2], 0, -1),
+        np.asarray(ys2["norm"][-1]),
+    )
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(ex2["final"])[1, :, :h2], 0, -1),
+        np.asarray(ys2["flip"][-1]),
+    )
