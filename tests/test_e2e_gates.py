@@ -173,3 +173,39 @@ def test_rgb_band_mask_validation_gate(cones):
     ld, _, _ = pandora_tpu.run(pipeline, left, right)
     d = np.where(np.asarray(ld.disparity_map) == -9999, np.nan, np.asarray(ld.disparity_map))
     assert error_rate(d, cones["gt_left"]) <= 0.25
+
+
+@pytest.mark.functional
+def test_multiscale_with_confidence_and_validation_gate(cones):
+    """reference test_pandora.py:396-441 (test_multiechelles_and_confidence):
+    zncc subpix-2 + ambiguity + wta + vfit + median + accurate
+    cross-checking under a 2-scale pyramid — left/right bad-1 <= 0.20 and
+    the bit-8/9 occlusion detection within 0.16 of the ground-truth
+    occlusion mask."""
+    ld, rd, _ = _run(
+        {
+            "matching_cost": {"matching_cost_method": "zncc", "window_size": 5, "subpix": 2},
+            "cost_volume_confidence": {"confidence_method": "ambiguity"},
+            "disparity": {"disparity_method": "wta", "invalid_disparity": -9999},
+            "refinement": {"refinement_method": "vfit"},
+            "filter": {"filter_method": "median", "filter_size": 3},
+            "validation": {"validation_method": "cross_checking_accurate"},
+            "multiscale": {
+                "multiscale_method": "fixed_zoom_pyramid",
+                "num_scales": 2,
+                "scale_factor": 2,
+                "marge": 1,
+            },
+        }
+    )
+    assert error_rate(np.asarray(ld.disparity_map), cones["gt_left"], 1) <= 0.20
+    assert rd is not None
+    assert error_rate(-np.asarray(rd.disparity_map), cones["gt_right"], 1) <= 0.20
+    # occlusion agreement: computed occluded = bits >= 512 (occlusion or
+    # mismatch), gt occlusion.png is 0 at occluded pixels
+    vm = np.asarray(ld.validity_mask)
+    occ = np.ones(vm.shape)
+    occ[vm >= 512] = 0
+    gt_occ = (cones["occlusion"] > 0).astype(float)
+    err_mask = float((occ != gt_occ).mean())
+    assert err_mask <= 0.16, err_mask
